@@ -1,0 +1,32 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def random_flow(rng):
+    """A smooth-ish random flow field [H, W, 2]."""
+    h, w = 48, 64
+    flow = rng.normal(0.0, 8.0, size=(h, w, 2)).astype(np.float32)
+    return flow
+
+
+@pytest.fixture
+def random_frame(rng):
+    return rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
