@@ -3,12 +3,18 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms at interpreter start; the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,136 @@
+"""Model smoke + invariance tests (tiny shapes, CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow.core.corr import CorrPyramid, all_pairs_correlation, corr_feature_dim
+from tpuflow.core.memflownet import MemFlowNet, init_memory, memory_write
+from tpuflow.core.mofnet import BOFNet, MOFNet
+from tpuflow.core.padding import InputPadder, bucket_shape, pad_dims
+from tpuflow.core.update import upsample_flow_convex
+
+
+SMALL = dict(
+    corr_levels=2,
+    corr_radius=2,
+    decoder_depth=2,
+    feature_dim=64,
+    hidden_dim=32,
+    context_dim=32,
+)
+
+
+def test_pad_dims_multiple_of_8():
+    for h, w in [(436, 1024), (100, 100), (64, 64), (65, 129)]:
+        pt, pb, pl, pr = pad_dims(h, w, 8)
+        assert (h + pt + pb) % 8 == 0
+        assert (w + pl + pr) % 8 == 0
+
+
+def test_input_padder_roundtrip():
+    x = jnp.arange(2 * 3 * 50 * 70, dtype=jnp.float32).reshape(2, 3, 50, 70)
+    padder = InputPadder(x.shape)
+    xp = padder.pad(x)
+    assert xp.shape[-2] % 8 == 0 and xp.shape[-1] % 8 == 0
+    np.testing.assert_array_equal(np.asarray(padder.unpad(xp)), np.asarray(x))
+
+
+def test_bucket_shape():
+    assert bucket_shape(480, 854) == (512, 896)
+    assert bucket_shape(64, 64) == (64, 64)
+
+
+def test_all_pairs_correlation_matches_einsum():
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
+    f2 = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
+    corr = np.asarray(all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2)))
+    want = np.einsum("bijc,bklc->bijkl", f1, f2) / np.sqrt(8)
+    np.testing.assert_allclose(corr, want, rtol=1e-5, atol=1e-5)
+
+
+def test_corr_lookup_center_identity():
+    # Zero flow, radius 0, one level: lookup returns the self-correlation
+    # cost at each position's own location.
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
+    pyr = CorrPyramid.build(jnp.asarray(f), jnp.asarray(f), num_levels=1)
+    out = np.asarray(pyr.lookup(jnp.zeros((1, 4, 4, 2)), radius=0))
+    want = (f * f).sum(-1) / np.sqrt(8)
+    np.testing.assert_allclose(out[0, :, :, 0], want[0], rtol=1e-4, atol=1e-4)
+
+
+def test_corr_feature_dim():
+    assert corr_feature_dim(4, 4) == 4 * 81
+
+
+def test_upsample_flow_convex_constant():
+    # Convex combination of a constant field is the constant (x8).
+    flow = jnp.full((1, 4, 4, 2), 2.0)
+    mask = jnp.zeros((1, 4, 4, 576))
+    up = np.asarray(upsample_flow_convex(flow, mask))
+    assert up.shape == (1, 32, 32, 2)
+    # Interior only: border cells average zero-padded neighbors (RAFT
+    # unfold semantics).
+    np.testing.assert_allclose(up[:, 8:-8, 8:-8], 16.0, rtol=1e-5)
+
+
+def test_mofnet_forward_shapes():
+    model = MOFNet(**SMALL)
+    frames = jnp.zeros((1, 5, 32, 48, 3))
+    params = model.init(jax.random.PRNGKey(0), frames)
+    fwd, bwd = model.apply(params, frames)
+    assert fwd.shape == (1, 3, 32, 48, 2)
+    assert bwd.shape == (1, 3, 32, 48, 2)
+    assert np.isfinite(np.asarray(fwd)).all()
+
+
+def test_bofnet_three_frames():
+    model = BOFNet(**SMALL)
+    frames = jnp.zeros((1, 3, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), frames)
+    fwd, bwd = model.apply(params, frames)
+    assert fwd.shape == (1, 1, 32, 32, 2)
+
+
+def test_memory_ring_buffer():
+    mem = init_memory(2, 3, 4, 2, 2)
+    assert float(mem.valid.sum()) == 0
+    k = jnp.ones((2, 4, 2))
+    v = jnp.ones((2, 4, 2)) * 5
+    mem = memory_write(mem, k, v)
+    assert float(mem.valid.sum()) == 2  # one slot per batch element
+    assert np.asarray(mem.ptr).tolist() == [1, 1]
+    mem = memory_write(mem, k * 2, v)
+    mem = memory_write(mem, k * 3, v)
+    mem = memory_write(mem, k * 4, v)  # wraps: overwrites slot 0
+    assert np.asarray(mem.ptr).tolist() == [4, 4]
+    np.testing.assert_allclose(np.asarray(mem.keys[0, 0]), 4.0)
+    np.testing.assert_allclose(np.asarray(mem.keys[0, 1]), 2.0)
+
+
+def test_memflow_forward_and_memory_carry():
+    model = MemFlowNet(memory_capacity=2, key_dim=8, value_dim=16, **SMALL)
+    pair = jnp.zeros((1, 2, 32, 32, 3))
+    mem0 = model.empty_memory(1, 32, 32)
+    params = model.init(jax.random.PRNGKey(0), pair, mem0)
+    flow, mem1, flow_low = model.apply(params, pair, mem0)
+    assert flow.shape == (1, 32, 32, 2)
+    assert flow_low.shape == (1, 4, 4, 2)
+    assert float(mem1.valid.sum()) == 1
+    # Second step consumes the carried memory.
+    flow2, mem2, _ = model.apply(params, pair, mem1)
+    assert float(mem2.valid.sum()) == 2
+    assert np.isfinite(np.asarray(flow2)).all()
+
+
+def test_memflow_warm_start():
+    model = MemFlowNet(memory_capacity=2, key_dim=8, value_dim=16, **SMALL)
+    pair = jnp.zeros((1, 2, 32, 32, 3))
+    mem0 = model.empty_memory(1, 32, 32)
+    params = model.init(jax.random.PRNGKey(0), pair, mem0)
+    init = jnp.ones((1, 4, 4, 2))
+    flow, _, _ = model.apply(params, pair, mem0, init)
+    assert np.isfinite(np.asarray(flow)).all()

@@ -1,0 +1,160 @@
+"""MOFNet / BOFNet — multi-frame optical flow (VideoFlow family) in flax.
+
+Reimplemented TPU-first from the papers (VideoFlow ICCV 2023 via PAPERS.md;
+RAFT arXiv:2003.12039), not translated: the reference loads these nets from
+a pinned submodule (videoflow_core.py:28,101) and consumes the contract
+  model([B, T, 3, H, W] in [0,1]) -> flow predictions, indexed
+  [0, mid] -> center-frame forward flow [2, H, W]   (videoflow_core.py:188-195)
+
+Design (per SURVEY §2.2):
+- Feature encoder over all T frames (one batched pass: frames fold into the
+  batch axis — MXU-friendly, no Python loop over T).
+- For each of the N = T-2 interior frames, all-pairs correlation pyramids
+  against both neighbors (forward + backward), built as batched einsums.
+- `decoder_depth` iterations of a shared SKFlow/GRU update block jointly
+  refining forward+backward flows of all interior frames; each iteration
+  fuses each frame's motion feature with its temporal neighbors' (the
+  multi-frame cue that distinguishes VideoFlow from RAFT).
+- Convex 8x upsampling of the final flows.
+
+Shapes are NHWC; interior frames ride the batch axis except in the
+temporal-fusion step.  BOFNet is MOFNet with T=3 (one interior frame,
+bi-directional output).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .corr import CorrPyramid, corr_feature_dim
+from .encoders import make_encoder
+from .update import UpdateBlock, upsample_flow_convex
+
+Dtype = Any
+
+
+class TemporalFusion(nn.Module):
+    """Fuse each interior frame's motion feature with its temporal
+    neighbors' (zero-padded at the window edges): the multi-frame motion
+    propagation of VideoFlow, implemented as a shift+concat+conv along the
+    interior-frame axis — one fused conv instead of cross-frame loops."""
+
+    dim: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, motion_fwd, motion_bwd):
+        # motion_*: [B, N, h, w, C]
+        prev_f = jnp.pad(motion_fwd, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+        next_f = jnp.pad(motion_fwd, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
+        prev_b = jnp.pad(motion_bwd, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+        next_b = jnp.pad(motion_bwd, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
+        x = jnp.concatenate([motion_fwd, motion_bwd, prev_f, next_f, prev_b, next_b], axis=-1)
+        b, n, h, w, c = x.shape
+        x = x.reshape(b * n, h, w, c)
+        x = nn.relu(nn.Conv(self.dim * 2, (1, 1), dtype=self.dtype, name="fuse1")(x))
+        x = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="fuse2")(x)
+        return x.reshape(b, n, h, w, self.dim)
+
+
+class MOFNet(nn.Module):
+    """Multi-frame optical flow network.
+
+    Call with frames [B, T, H, W, 3] (RGB in [0, 1], T >= 3).
+    Returns (flows_fwd, flows_bwd): each [B, T-2, H, W, 2] full-res flows
+    of the interior frames.
+    """
+
+    corr_levels: int = 4
+    corr_radius: int = 4
+    decoder_depth: int = 12
+    feature_dim: int = 256
+    hidden_dim: int = 128
+    context_dim: int = 128
+    encoder: str = "cnn"             # 'cnn' | 'twins'
+    corr_dtype: Any = jnp.bfloat16   # cost-volume storage dtype (HBM saver)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray):
+        b, t, h, w, _ = frames.shape
+        n = t - 2
+        assert t >= 3, "MOFNet needs at least 3 frames"
+        h8, w8 = h // 8, w // 8
+
+        x = 2.0 * frames - 1.0
+
+        # ---- encoders (all frames / interior frames fold into batch) ----
+        fnet = make_encoder(self.encoder, self.feature_dim, "instance", self.dtype)
+        feats = fnet(x.reshape(b * t, h, w, 3))
+        feats = feats.reshape(b, t, h8, w8, self.feature_dim)
+
+        cnet = make_encoder(self.encoder, self.hidden_dim + self.context_dim, "batch", self.dtype)
+        ctx = cnet(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
+        hidden = jnp.tanh(ctx[..., : self.hidden_dim])
+        inp = nn.relu(ctx[..., self.hidden_dim :])
+
+        # ---- correlation pyramids: interior frame vs both neighbors ----
+        center = feats[:, 1 : t - 1].reshape(b * n, h8, w8, -1)
+        fwd_tgt = feats[:, 2:t].reshape(b * n, h8, w8, -1)
+        bwd_tgt = feats[:, 0 : t - 2].reshape(b * n, h8, w8, -1)
+
+        corr_fwd = CorrPyramid.build(
+            center.astype(self.corr_dtype), fwd_tgt.astype(self.corr_dtype), self.corr_levels
+        )
+        corr_bwd = CorrPyramid.build(
+            center.astype(self.corr_dtype), bwd_tgt.astype(self.corr_dtype), self.corr_levels
+        )
+
+        # ---- iterative refinement ----
+        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
+        fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
+        # Direction embedding lets the shared update block distinguish
+        # forward from backward passes.
+        dir_embed = self.param(
+            "dir_embed", nn.initializers.normal(0.02), (2, 128), jnp.float32
+        )
+
+        flow_fwd = jnp.zeros((b * n, h8, w8, 2), jnp.float32)
+        flow_bwd = jnp.zeros((b * n, h8, w8, 2), jnp.float32)
+        h_fwd = hidden
+        h_bwd = hidden
+        motion_fwd = jnp.zeros((b, n, h8, w8, 128), self.dtype)
+        motion_bwd = jnp.zeros((b, n, h8, w8, 128), self.dtype)
+        mask_fwd = mask_bwd = None
+
+        for _ in range(self.decoder_depth):
+            fused = fusion(motion_fwd, motion_bwd).reshape(b * n, h8, w8, 128)
+
+            cf = corr_fwd.lookup(flow_fwd, self.corr_radius).astype(self.dtype)
+            h_fwd, m_f, d_f, mask_fwd = update(
+                h_fwd, inp, cf, flow_fwd, fused + dir_embed[0].astype(self.dtype)
+            )
+            flow_fwd = flow_fwd + d_f.astype(jnp.float32)
+
+            cb = corr_bwd.lookup(flow_bwd, self.corr_radius).astype(self.dtype)
+            h_bwd, m_b, d_b, mask_bwd = update(
+                h_bwd, inp, cb, flow_bwd, fused + dir_embed[1].astype(self.dtype)
+            )
+            flow_bwd = flow_bwd + d_b.astype(jnp.float32)
+
+            motion_fwd = m_f.reshape(b, n, h8, w8, -1)
+            motion_bwd = m_b.reshape(b, n, h8, w8, -1)
+
+        up_fwd = upsample_flow_convex(flow_fwd, mask_fwd.astype(jnp.float32))
+        up_bwd = upsample_flow_convex(flow_bwd, mask_bwd.astype(jnp.float32))
+        return (
+            up_fwd.reshape(b, n, h, w, 2),
+            up_bwd.reshape(b, n, h, w, 2),
+        )
+
+
+class BOFNet(MOFNet):
+    """Bi-directional 3-frame variant (CLI `--vf-architecture bof`,
+    flow_processor.py:1329-1330): identical machinery, T is fixed at 3 by
+    the caller so there is exactly one interior frame whose forward and
+    backward flows are returned."""

