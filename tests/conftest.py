@@ -16,6 +16,11 @@ import jax
 # jax_platforms at interpreter start; the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: model-forward compiles dominate test time.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,201 @@
+"""FlowEngine integration tests (tiny models, CPU backend)."""
+
+import numpy as np
+import pytest
+
+from tpuflow.config import ModelConfig
+from tpuflow.runtime.engine import FlowEngine
+from tpuflow.runtime.tiles import calculate_tile_grid, paste_tile_flows
+from tpuflow.runtime.windows import (
+    all_window_indices,
+    centered_window_indices,
+    trailing_window_indices,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(model="videoflow", architecture="mof", sequence_length=5)
+    base.update(kw)
+    cfg = ModelConfig(**base)
+    # Shrink the net for test speed.
+    object.__setattr__(cfg, "decoder_depth", 2)
+    object.__setattr__(cfg, "corr_levels", 2)
+    object.__setattr__(cfg, "corr_radius", 2)
+    object.__setattr__(cfg, "feature_dim", 64)
+    object.__setattr__(cfg, "hidden_dim", 32)
+    object.__setattr__(cfg, "context_dim", 32)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(3)
+    return [rng.integers(0, 256, (40, 56, 3), dtype=np.uint8) for _ in range(8)]
+
+
+# ---------------------------------------------------------------------------
+# Window index contracts (oracle: reference list-slicing semantics,
+# videoflow_processor.py:122-147 / memflow_processor.py:97-139)
+# ---------------------------------------------------------------------------
+def _oracle_centered(n, idx, L):
+    half = L // 2
+    start = max(0, idx - half)
+    end = min(n, idx + half + 1)
+    seq = list(range(start, end))
+    while len(seq) < L:
+        if start == 0:
+            seq.insert(0, seq[0])
+        else:
+            seq.append(seq[-1])
+    return seq[:L]
+
+
+def test_centered_windows_match_reference():
+    for n in (1, 3, 8, 20):
+        for L in (3, 5, 9):
+            for idx in range(n):
+                got = centered_window_indices(n, idx, L).tolist()
+                assert got == _oracle_centered(n, idx, L), (n, L, idx)
+
+
+def test_trailing_windows_match_reference():
+    # frames[idx+1-L : idx+1] with front replication of frame 0.
+    assert trailing_window_indices(10, 0, 4).tolist() == [0, 0, 0, 0]
+    assert trailing_window_indices(10, 2, 4).tolist() == [0, 0, 1, 2]
+    assert trailing_window_indices(10, 5, 4).tolist() == [2, 3, 4, 5]
+    assert trailing_window_indices(10, 5, 1).tolist() == [4, 5]  # L floors at 2
+
+
+def test_all_window_indices_shape():
+    w = all_window_indices(7, 5)
+    assert w.shape == (7, 5)
+    assert (w[3] == np.array([1, 2, 3, 4, 5])).all()
+
+
+# ---------------------------------------------------------------------------
+# Tile grid (oracle: videoflow_processor.py:73-110)
+# ---------------------------------------------------------------------------
+def test_tile_grid_1080p():
+    tw, th, cols, rows, tiles = calculate_tile_grid(1920, 1080, 1280)
+    assert (tw, th, cols, rows) == (1280, 1280, 2, 1)
+    assert tiles[0] == dict(x=0, y=0, width=1280, height=1080, col=0, row=0)
+    assert tiles[1] == dict(x=1280, y=0, width=640, height=1080, col=1, row=0)
+
+
+def test_tile_grid_4k():
+    _, _, cols, rows, tiles = calculate_tile_grid(3840, 2160, 1280)
+    assert (cols, rows) == (3, 2)
+    assert len(tiles) == 6
+    assert tiles[-1] == dict(x=2560, y=1280, width=1280, height=880, col=2, row=1)
+
+
+def test_paste_hard_matches_reference_semantics():
+    _, _, _, _, tiles = calculate_tile_grid(100, 60, 64)
+    flows = np.stack(
+        [np.full((64, 64, 2), i + 1, np.float32) for i in range(len(tiles))]
+    )
+    full = paste_tile_flows(flows, tiles, 100, 60, 64, overlap=0)
+    assert full.shape == (60, 100, 2)
+    assert (full[0, 0] == 1).all()
+    assert (full[0, 99] == 2).all()
+
+
+# ---------------------------------------------------------------------------
+# Engine end-to-end
+# ---------------------------------------------------------------------------
+def test_engine_videoflow_single_and_batch(frames):
+    eng = FlowEngine(tiny_cfg())
+    eng.load_model()
+    flow = eng.compute_flow(frames, 3)
+    assert flow.shape == (40, 56, 2)
+    assert np.isfinite(flow).all()
+
+    batch = eng.compute_flow_batch(frames, [2, 3, 4])
+    assert batch.shape == (3, 40, 56, 2)
+    np.testing.assert_allclose(batch[1], flow, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_edge_frames(frames):
+    # First/last frames use replicated windows — must not crash, and the
+    # first frame of a static camera has near-duplicate inputs.
+    eng = FlowEngine(tiny_cfg())
+    eng.load_model()
+    f0 = eng.compute_flow(frames, 0)
+    flast = eng.compute_flow(frames, len(frames) - 1)
+    assert np.isfinite(f0).all() and np.isfinite(flast).all()
+
+
+def test_engine_odd_shape_padding():
+    # Non-multiple-of-8 dims must pad/unpad transparently.
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (37, 51, 3), dtype=np.uint8) for _ in range(5)]
+    eng = FlowEngine(tiny_cfg(sequence_length=3))
+    eng.load_model()
+    flow = eng.compute_flow(frames, 2)
+    assert flow.shape == (37, 51, 2)
+
+
+def test_engine_tiled(frames):
+    eng = FlowEngine(tiny_cfg(sequence_length=3))
+    eng.load_model()
+    flow = eng.compute_flow_tiled(frames, 3, tile_size=32, tile_batch=2)
+    assert flow.shape == (40, 56, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_engine_tiled_with_overlap(frames):
+    eng = FlowEngine(tiny_cfg(sequence_length=3))
+    eng.load_model()
+    flow = eng.compute_flow_tiled(frames, 3, tile_size=32, overlap=8, tile_batch=2)
+    assert flow.shape == (40, 56, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_engine_memflow_step_and_stream(frames):
+    cfg = tiny_cfg(model="memflow", sequence_length=3)
+    eng = FlowEngine(cfg)
+    eng.load_model()
+
+    flow = eng.compute_flow(frames, 3)
+    assert flow.shape == (40, 56, 2)
+
+    flows = eng.stream_flows(frames[:6])
+    assert flows.shape == (6, 40, 56, 2)
+    assert np.isfinite(flows).all()
+
+
+def test_engine_memflow_warm_start(frames):
+    cfg = tiny_cfg(model="memflow", sequence_length=3)
+    eng = FlowEngine(cfg)
+    eng.load_model()
+    flows = eng.stream_flows(frames[:4], warm_start=True)
+    assert flows.shape == (4, 40, 56, 2)
+
+
+def test_engine_requires_load(frames):
+    eng = FlowEngine(tiny_cfg())
+    with pytest.raises(RuntimeError):
+        eng.compute_flow(frames, 0)
+
+
+def test_fast_mode_config_overrides():
+    cfg = ModelConfig(fast_mode=True)
+    assert cfg.decoder_depth == 6
+    assert cfg.corr_levels == 3
+    assert cfg.corr_radius == 3
+
+
+def test_checkpoint_naming():
+    assert ModelConfig().checkpoint_path == "VideoFlow_ckpt/MOF_sintel.pth"
+    assert (
+        ModelConfig(dataset="things", variant="noise").checkpoint_filename
+        == "MOF_things_288960noise.pth"
+    )
+    assert (
+        ModelConfig(architecture="bof", dataset="kitti").checkpoint_filename
+        == "BOF_kitti.pth"
+    )
+    assert (
+        ModelConfig(model="memflow", stage="things").checkpoint_path
+        == "MemFlow_ckpt/MemFlowNet_things.pth"
+    )

@@ -5,7 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpuflow.core.corr import CorrPyramid, all_pairs_correlation, corr_feature_dim
+from tpuflow.core.corr import (
+    CorrPyramid,
+    OnTheFlyCorr,
+    all_pairs_correlation,
+    corr_feature_dim,
+    make_corr,
+)
 from tpuflow.core.memflownet import MemFlowNet, init_memory, memory_write
 from tpuflow.core.mofnet import BOFNet, MOFNet
 from tpuflow.core.padding import InputPadder, bucket_shape, pad_dims
@@ -64,6 +70,30 @@ def test_corr_lookup_center_identity():
 
 def test_corr_feature_dim():
     assert corr_feature_dim(4, 4) == 4 * 81
+
+
+def test_on_the_fly_corr_matches_materialized():
+    # The pooling-commutes-with-correlation identity must hold exactly
+    # (up to float reassociation) for every level and arbitrary flows.
+    rng = np.random.default_rng(7)
+    f1 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    flow = rng.normal(0, 3, size=(2, 16, 24, 2)).astype(np.float32)
+
+    mat = CorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), num_levels=3)
+    otf = OnTheFlyCorr.build(jnp.asarray(f1), jnp.asarray(f2), num_levels=3)
+
+    a = np.asarray(mat.lookup(jnp.asarray(flow), radius=3))
+    b = np.asarray(otf.lookup(jnp.asarray(flow), radius=3))
+    assert a.shape == b.shape == (2, 16, 24, 3 * 49)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_make_corr_auto_selection():
+    f = jnp.zeros((1, 8, 8, 4))
+    assert isinstance(make_corr(f, f, 2, "auto"), CorrPyramid)
+    big = jnp.zeros((1, 104, 104, 4))
+    assert isinstance(make_corr(big, big, 2, "auto"), OnTheFlyCorr)
 
 
 def test_upsample_flow_convex_constant():

@@ -150,3 +150,151 @@ class CorrPyramid:
 
 def corr_feature_dim(num_levels: int, radius: int) -> int:
     return num_levels * (2 * radius + 1) ** 2
+
+
+def _bilinear_gather_features(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample feature map [N, H, W, C] at float coords [N, P, 2] (x, y),
+    border-clamped.  Returns [N, P, C]."""
+    n, h, w, c = fmap.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    batch_idx = jnp.arange(n)[:, None]
+    v00 = fmap[batch_idx, y0i, x0i]
+    v01 = fmap[batch_idx, y0i, x1i]
+    v10 = fmap[batch_idx, y1i, x0i]
+    v11 = fmap[batch_idx, y1i, x1i]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def _avg_pool_features(fmap: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool of [B, H, W, C] (VALID, matching the corr-pyramid
+    pooling)."""
+    return jax.lax.reduce_window(
+        fmap,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    ) / 4.0
+
+
+class OnTheFlyCorr:
+    """Correlation lookup WITHOUT materializing the O((HW)^2) cost volume.
+
+    Identity used: average-pooling the cost volume over its *target* dims
+    equals correlating against average-pooled target features, because
+    correlation is linear in fmap2:
+        avgpool_t(f1 . f2)[q, p] = f1[q] . avgpool(f2)[p]
+    (exact, up to float reassociation).  So each pyramid level stores only
+    the pooled f2 (tiny), and lookup gathers (2r+1)^2 pooled-feature
+    samples around the displaced position and contracts with f1 — the
+    memory-efficient sampling of arXiv:2505.16942 (PAPERS.md).
+
+    vs CorrPyramid at feature size HW with P = levels*(2r+1)^2 samples and
+    K iterations:
+      materialized: build cost = HW*HW*C MACs + storage HW^2 floats
+      on-the-fly:   K*HW*P*C MACs, storage HW*P transient
+    For 1080p (HW=32400 at 1/8) with P=324, K=12: on-the-fly is ~8x fewer
+    MACs and avoids ~4 GB of HBM per volume — it is the 1080p-capable path
+    (SURVEY §7.3 item 2).
+    """
+
+    def __init__(self, fmap1: jnp.ndarray, pyramid: List[jnp.ndarray]):
+        self.fmap1 = fmap1  # [B, H, W, C]
+        self.pyramid = pyramid  # pooled f2 per level: [B, H/2^l, W/2^l, C]
+        self.scale = 1.0 / jnp.sqrt(jnp.asarray(fmap1.shape[-1], jnp.float32))
+
+    @classmethod
+    def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
+        pyr = [fmap2]
+        for _ in range(num_levels - 1):
+            pyr.append(_avg_pool_features(pyr[-1]))
+        return cls(fmap1, pyr)
+
+    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """[B, H, W, 2] flow -> [B, H, W, L*(2r+1)^2] correlation features,
+        numerically matching CorrPyramid.lookup."""
+        b, h, w, _ = flow.shape
+        r = radius
+        d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        delta = jnp.stack(jnp.meshgrid(d, d, indexing="xy"), axis=-1).reshape(-1, 2)
+        p = delta.shape[0]
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+
+        f1 = self.fmap1.reshape(b, h * w, -1)
+        out = []
+        for lvl, f2l in enumerate(self.pyramid):
+            lh, lw = f2l.shape[1], f2l.shape[2]
+            centroid = (base[None] + flow) / (2.0**lvl)
+            coords = (centroid[..., None, :] + delta[None, None, None]).reshape(
+                b, h * w, p, 2
+            )
+            x = coords[..., 0]
+            y = coords[..., 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            wx = x - x0
+            wy = y - y0
+            x0i = jnp.clip(x0.astype(jnp.int32), 0, lw - 1)
+            x1i = jnp.clip(x0i + 1, 0, lw - 1)
+            y0i = jnp.clip(y0.astype(jnp.int32), 0, lh - 1)
+            y1i = jnp.clip(y0i + 1, 0, lh - 1)
+
+            # Bilinear interpolation commutes with the feature contraction,
+            # so dot each corner separately: peak transient memory is one
+            # [B, HW, P, C] gather instead of four.
+            bidx = jnp.arange(b)[:, None, None]
+            corr = jnp.zeros((b, h * w, p), jnp.float32)
+            for yi, xi, wgt in (
+                (y0i, x0i, (1 - wx) * (1 - wy)),
+                (y0i, x1i, wx * (1 - wy)),
+                (y1i, x0i, (1 - wx) * wy),
+                (y1i, x1i, wx * wy),
+            ):
+                v = f2l[bidx, yi, xi]  # [B, HW, P, C]
+                # bf16 inputs, f32 accumulation: native MXU shape.
+                d = jnp.einsum(
+                    "bnc,bnpc->bnp", f1, v, preferred_element_type=jnp.float32
+                )
+                corr = corr + wgt * d
+            out.append((corr * self.scale).reshape(b, h, w, p))
+        return jnp.concatenate(out, axis=-1)
+
+
+def make_corr(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int = 4,
+    impl: str = "auto",
+    materialize_threshold: int = 96 * 96,
+):
+    """Pick the correlation implementation.
+
+    'auto' materializes small volumes (cheap lookups thereafter) and goes
+    on-the-fly for large feature grids where the full volume would blow
+    HBM (static decision — shapes are known at trace time)."""
+    if impl == "materialized":
+        return CorrPyramid.build(fmap1, fmap2, num_levels)
+    if impl == "direct":
+        return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
+    hw = fmap1.shape[1] * fmap1.shape[2]
+    if hw > materialize_threshold:
+        return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
+    return CorrPyramid.build(fmap1, fmap2, num_levels)

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import CorrPyramid
+from .corr import make_corr
 from .encoders import make_encoder
 from .update import UpdateBlock, upsample_flow_convex
 
@@ -129,6 +129,7 @@ class MemFlowNet(nn.Module):
     memory_capacity: int = 8
     encoder: str = "cnn"
     corr_dtype: Any = jnp.bfloat16
+    corr_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -153,10 +154,11 @@ class MemFlowNet(nn.Module):
         hidden = jnp.tanh(ctx[..., : self.hidden_dim])
         inp = nn.relu(ctx[..., self.hidden_dim :])
 
-        corr = CorrPyramid.build(
+        corr = make_corr(
             feats[:, 0].astype(self.corr_dtype),
             feats[:, 1].astype(self.corr_dtype),
             self.corr_levels,
+            self.corr_impl,
         )
 
         update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")

@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import CorrPyramid, corr_feature_dim
+from .corr import make_corr
 from .encoders import make_encoder
 from .update import UpdateBlock, upsample_flow_convex
 
@@ -77,6 +77,7 @@ class MOFNet(nn.Module):
     context_dim: int = 128
     encoder: str = "cnn"             # 'cnn' | 'twins'
     corr_dtype: Any = jnp.bfloat16   # cost-volume storage dtype (HBM saver)
+    corr_impl: str = "auto"          # 'auto' | 'materialized' | 'direct'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,11 +104,13 @@ class MOFNet(nn.Module):
         fwd_tgt = feats[:, 2:t].reshape(b * n, h8, w8, -1)
         bwd_tgt = feats[:, 0 : t - 2].reshape(b * n, h8, w8, -1)
 
-        corr_fwd = CorrPyramid.build(
-            center.astype(self.corr_dtype), fwd_tgt.astype(self.corr_dtype), self.corr_levels
+        corr_fwd = make_corr(
+            center.astype(self.corr_dtype), fwd_tgt.astype(self.corr_dtype),
+            self.corr_levels, self.corr_impl,
         )
-        corr_bwd = CorrPyramid.build(
-            center.astype(self.corr_dtype), bwd_tgt.astype(self.corr_dtype), self.corr_levels
+        corr_bwd = make_corr(
+            center.astype(self.corr_dtype), bwd_tgt.astype(self.corr_dtype),
+            self.corr_levels, self.corr_impl,
         )
 
         # ---- iterative refinement ----

@@ -411,7 +411,9 @@ def pixel_quality(
     src_pixels: jnp.ndarray, dst_pixels: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-pixel color-match quality = mean of (RGB-distance similarity,
-    abs-diff similarity, cosine similarity) (correction_worker.py:9-27)."""
+    abs-diff similarity, remapped cosine similarity)
+    (correction_worker.py:9-27; cosine mapped (cos+1)/2 at :22, with the
+    norm-difference fallback for near-black pixels at :24-25)."""
     src = src_pixels.astype(jnp.float32)
     dst = dst_pixels.astype(jnp.float32)
     diff = src - dst
@@ -426,24 +428,73 @@ def pixel_quality(
     norm_s = jnp.sqrt(jnp.sum(src**2, axis=-1))
     norm_d = jnp.sqrt(jnp.sum(dst**2, axis=-1))
     denom = norm_s * norm_d
-    sim_cos = jnp.where(denom > 1e-6, dot / jnp.maximum(denom, 1e-30), 1.0)
+    cos = dot / jnp.maximum(denom, 1e-30)
+    sim_cos = jnp.where(
+        denom > 1e-12,
+        (cos + 1.0) / 2.0,
+        1.0 - jnp.abs(norm_s - norm_d) / max_dist,
+    )
 
     return (sim_dist + sim_abs + sim_cos) / 3.0
 
 
 def quality_map(
-    frame_a: jnp.ndarray, frame_b: jnp.ndarray, flow: jnp.ndarray
+    frame_a: jnp.ndarray, frame_b: jnp.ndarray, flow: jnp.ndarray, sign: float = -1.0
 ) -> jnp.ndarray:
-    """Dense flow quality: backward-warp frame_b to frame_a along flow,
-    compare colors (the vectorized analogue of
-    correction_worker.py:175-208's GPU path).  Returns [H, W] in [0,1]
-    where 1 = perfect color match along the flow vector."""
+    """Dense flow quality: sample frame_b at `pos + sign*flow` and compare
+    colors with frame_a.  sign=-1 is the correction engine's
+    `target = pos - flow` convention (correction_worker.py:186-191).
+    Returns [H, W] in [0,1]; out-of-bounds targets score 0."""
     h, w = frame_a.shape[0], frame_a.shape[1]
     y_coords, x_coords = jnp.mgrid[0:h, 0:w]
-    tx = jnp.clip(x_coords + flow[..., 0], 0, w - 1)
-    ty = jnp.clip(y_coords + flow[..., 1], 0, h - 1)
-    warped_b = bilinear_sample(frame_b.astype(jnp.float32), tx, ty)
-    return pixel_quality(frame_a.astype(jnp.float32), warped_b)
+    tx = x_coords + sign * flow[..., 0]
+    ty = y_coords + sign * flow[..., 1]
+    oob = (tx < 0) | (tx >= w) | (ty < 0) | (ty >= h)
+    # Reference samples with integer (truncated) coords
+    # (correction_worker.py:189-191).
+    txi = jnp.clip(tx.astype(jnp.int32), 0, w - 1)
+    tyi = jnp.clip(ty.astype(jnp.int32), 0, h - 1)
+    sampled = frame_b.astype(jnp.float32)[tyi, txi]
+    q = pixel_quality(frame_a.astype(jnp.float32), sampled)
+    return jnp.where(oob, 0.0, q)
+
+
+def quality_frame(
+    frame_a: jnp.ndarray,
+    frame_b: jnp.ndarray,
+    flow: jnp.ndarray,
+    good_quality_threshold: float = 0.98,
+) -> jnp.ndarray:
+    """Red/green quality visualization, matching the reference's GPU path
+    (correction_worker.py:175-208): good pixels get green intensity
+    (sim-0.5)*2, bad pixels get red 1-sim, out-of-bounds pure red.
+    Works on raw 0-255 frames; the reference normalizes to [0,1] first,
+    which leaves the similarity unchanged (all terms are scale-ratios).
+    The red channel > 0 is the 'bad pixel' predicate consumed by the
+    batch corrector (correction_worker.py:248)."""
+    h, w = frame_a.shape[0], frame_a.shape[1]
+    y_coords, x_coords = jnp.mgrid[0:h, 0:w]
+    tx = x_coords - flow[..., 0]
+    ty = y_coords - flow[..., 1]
+    oob = (tx < 0) | (tx >= w) | (ty < 0) | (ty >= h)
+    txi = jnp.clip(tx.astype(jnp.int32), 0, w - 1)
+    tyi = jnp.clip(ty.astype(jnp.int32), 0, h - 1)
+    sampled = frame_b.astype(jnp.float32)[tyi, txi]
+    sim = pixel_quality(frame_a.astype(jnp.float32), sampled)
+
+    green = jnp.clip((sim - 0.5) * 2.0, 0.0, 1.0)
+    red = jnp.clip(1.0 - sim, 0.0, 1.0)
+    good = sim > good_quality_threshold
+    out = jnp.stack(
+        [
+            jnp.where(good, 0.0, red),
+            jnp.where(good, green, 0.0),
+            jnp.zeros_like(red),
+        ],
+        axis=-1,
+    )
+    out = jnp.where(oob[..., None], jnp.asarray([1.0, 0.0, 0.0]), out)
+    return (out * 255).astype(jnp.uint8)
 
 
 def _box_filter(x: jnp.ndarray, ksize: int) -> jnp.ndarray:

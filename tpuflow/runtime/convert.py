@@ -1,0 +1,179 @@
+"""PyTorch checkpoint -> JAX params conversion.
+
+The reference loads `.pth` checkpoints with DataParallel-prefix stripping
+(videoflow_core.py:104-110; MemFlow via cfg.restore_ckpt,
+memflow_loader.py:53).  This module provides:
+
+- `load_torch_state_dict`: read a .pth into numpy arrays (torch is a
+  CPU-only, offline dependency here), stripping `module.` prefixes.
+- Layout converters: torch conv OIHW -> flax HWIO, linear [out,in] ->
+  [in,out], per-channel norm params passthrough.
+- `map_state_dict_to_params`: fill a flax param tree from a flat torch
+  dict via a name-mapping function + shape check, reporting
+  matched/missing keys.  Exact upstream name tables require the real
+  checkpoints (absent from the snapshot — .MISSING_LARGE_BLOBS); the
+  mapping function is pluggable so the table can be finalized against a
+  live checkpoint without touching the machinery.
+- `params_to_torch_style` (inverse) used to round-trip-test the machinery.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if any(k.startswith("module.") for k in ckpt):
+        ckpt = {k.replace("module.", "", 1): v for k, v in ckpt.items()}
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in ckpt.items()}
+
+
+def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def flax_conv_to_torch(w: np.ndarray) -> np.ndarray:
+    """HWIO -> OIHW."""
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def torch_linear_to_flax(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(w)
+
+
+def flatten_params(params, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(flatten_params(v, f"{prefix}/{k}" if prefix else k))
+    else:
+        out[prefix] = np.asarray(params)
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def params_to_torch_style(params) -> Dict[str, np.ndarray]:
+    """Inverse mapping (testing aid): flax tree -> torch-style flat dict
+    with torch layouts and dotted names (kernel->weight, scale->weight)."""
+    flat = flatten_params(params)
+    out = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        leaf = parts[-1]
+        name = ".".join(parts[:-1])
+        if leaf == "kernel":
+            if val.ndim == 4:
+                out[f"{name}.weight"] = flax_conv_to_torch(val)
+            else:
+                out[f"{name}.weight"] = np.transpose(val)
+        elif leaf == "scale":
+            out[f"{name}.weight"] = val
+        elif leaf == "bias":
+            out[f"{name}.bias"] = val
+        else:
+            out[f"{name}.{leaf}" if name else leaf] = val
+    return out
+
+
+def default_name_map(torch_key: str) -> Tuple[str, str]:
+    """torch dotted name -> (flax path prefix, leaf kind).
+
+    leaf kind: 'kernel' (conv/linear weight), 'scale' (norm weight),
+    'bias', or 'raw'."""
+    if torch_key.endswith(".weight"):
+        return torch_key[: -len(".weight")].replace(".", "/"), "weight"
+    if torch_key.endswith(".bias"):
+        return torch_key[: -len(".bias")].replace(".", "/"), "bias"
+    return torch_key.replace(".", "/"), "raw"
+
+
+def map_state_dict_to_params(
+    state_dict: Dict[str, np.ndarray],
+    params,
+    name_map: Callable[[str], Tuple[str, str]] = default_name_map,
+    strict: bool = False,
+):
+    """Fill the flax tree from a torch state dict.
+
+    Weights are layout-converted by rank (4D conv OIHW->HWIO, 2D linear
+    transpose); 'weight' resolves to 'kernel' or 'scale' depending on
+    which leaf exists at the target path.  Returns (new_params, report)."""
+    flat = flatten_params(params)
+    new_flat = dict(flat)
+    matched, missing = [], []
+
+    for tkey, tval in state_dict.items():
+        path, kind = name_map(tkey)
+        if kind == "weight":
+            for leaf, conv in (
+                ("kernel", None),
+                ("scale", None),
+            ):
+                fkey = f"{path}/{leaf}"
+                if fkey in flat:
+                    if leaf == "kernel" and tval.ndim == 4:
+                        val = torch_conv_to_flax(tval)
+                    elif leaf == "kernel" and tval.ndim == 2:
+                        val = torch_linear_to_flax(tval)
+                    else:
+                        val = tval
+                    if val.shape != flat[fkey].shape:
+                        missing.append((tkey, f"shape {val.shape} vs {flat[fkey].shape}"))
+                        break
+                    new_flat[fkey] = val.astype(flat[fkey].dtype)
+                    matched.append(tkey)
+                    break
+            else:
+                missing.append((tkey, "no kernel/scale leaf"))
+        else:
+            fkey = f"{path}/{kind}" if kind != "raw" else path
+            if fkey in flat and flat[fkey].shape == tval.shape:
+                new_flat[fkey] = tval.astype(flat[fkey].dtype)
+                matched.append(tkey)
+            else:
+                missing.append((tkey, "not found" if fkey not in flat else "shape"))
+
+    report = {
+        "matched": len(matched),
+        "unmatched": missing,
+        "total_torch": len(state_dict),
+        "total_flax": len(flat),
+    }
+    if strict and missing:
+        raise ValueError(f"Unmatched checkpoint keys: {missing[:10]} (+{len(missing)-10 if len(missing)>10 else 0})")
+    return unflatten_params(new_flat), report
+
+
+def load_torch_checkpoint_as_params(path: str, engine) -> Dict:
+    """Engine hook: torch .pth -> engine's param tree (best-effort name
+    mapping; unmatched leaves keep their init)."""
+    state_dict = load_torch_state_dict(path)
+    params = engine.init_params()
+    new_params, report = map_state_dict_to_params(state_dict, params)
+    print(
+        f"[convert] {report['matched']}/{report['total_torch']} checkpoint "
+        f"tensors mapped into {report['total_flax']} param leaves"
+    )
+    if report["unmatched"]:
+        print(f"[convert] first unmatched: {report['unmatched'][:5]}")
+    return new_params
