@@ -113,7 +113,7 @@ def phase_correlate_batch(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, 
     n, h, w = a.shape
     fa = jnp.fft.rfft2(a)
     fb = jnp.fft.rfft2(b)
-    cross = fa * jnp.conj(fb)
+    cross = jnp.conj(fa) * fb
     cross = cross / jnp.maximum(jnp.abs(cross), 1e-10)
     resp = jnp.fft.irfft2(cross, s=(h, w))  # [N, H, W]
 
