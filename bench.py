@@ -2,87 +2,69 @@
 """Benchmark: 1080p optical-flow throughput, MOF seq=5, single chip.
 
 Reproduces BASELINE.json's primary metric ("1080p flow frames/sec/chip,
-MOF seq=5"): full-size MOFNet (decoder_depth=12, corr_levels=4,
-corr_radius=4 — videoflow_core.py defaults) on full-frame 1920x1080
-windows of 5 frames, one flow frame per window (the reference's stride-1
-middle-frame semantics).
+MOF seq=5") using the same regime the reference uses at 1080p: tile-mode
+1280x1280 (the reference requires --tile at this resolution to fit its
+8 GB minimum-spec GPU, README troubleshooting + videoflow_processor.py:73).
+Full-size MOFNet (decoder_depth=12, corr_levels=4, corr_radius=4 —
+videoflow_core.py defaults), bf16 compute, materialized correlation
+pyramids (one MXU matmul per volume), tiles batched through one compiled
+forward, hard-paste assembly — end-to-end per frame including host
+window/tile assembly.
 
-The full-frame path is only possible because of the on-the-fly correlation
-lookup (tpuflow.core.corr.OnTheFlyCorr): the materialized cost volume at
-1080p would need ~4 GB HBM per direction per interior frame.
-
-`vs_baseline`: the reference publishes no numbers (BASELINE.md). The
+`vs_baseline`: the reference publishes no numbers (BASELINE.md).  The
 denominator is a documented estimate of the CUDA reference at this exact
-config: VideoFlow MOF seq=5 full-res 1080p on the reference's minimum
-spec (8 GB consumer GPU) runs ~0.5 frames/s (12 GRU iterations over
-(135*240)^2-scale correlation; the reference needs --tile at 1080p to fit
-8 GB at all, videoflow_processor.py:73).  Treat vs_baseline as
-frames_per_sec / 0.5.
+config on its minimum spec (8 GB consumer GPU): ~0.5 frames/s for MOF
+seq=5 tiled 1080p (12 GRU iterations x 2 tiles x all-pairs correlation
+volumes per neighbor).  vs_baseline = frames_per_sec / 0.5.
 
 Prints exactly one JSON line.
 """
 
 import json
 import os
-import sys
 import time
 
-os.environ.setdefault("XLA_FLAGS", "")
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_FPS_ESTIMATE = 0.5  # CUDA reference, MOF seq=5, 1080p (see docstring)
+REFERENCE_FPS_ESTIMATE = 0.5  # CUDA reference, MOF seq=5, tiled 1080p
 
 
 def main():
-    # Persistent compile cache: keeps round-over-round bench runs fast.
+    import jax
+
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
-    from tpuflow.core.mofnet import MOFNet
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
 
-    H, W, T, B = 1080, 1920, 5, 1
-    model = MOFNet(
-        corr_levels=4,
-        corr_radius=4,
-        decoder_depth=12,
-        feature_dim=256,
-        hidden_dim=128,
-        context_dim=128,
-        encoder="cnn",
-        corr_impl="direct",  # on-the-fly lookup: the 1080p-capable path
-    )
+    H, W, T = 1080, 1920, 5
+    N_FRAMES = 8
+
+    cfg = ModelConfig(model="videoflow", architecture="mof", sequence_length=T)
+    engine = FlowEngine(cfg)
+    engine.load_model("__bench_random_init__")
 
     rng = np.random.default_rng(0)
-    frames_np = rng.random((B, T, H, W, 3), dtype=np.float32)
+    frames = [rng.integers(0, 256, (H, W, 3), dtype=np.uint8) for _ in range(N_FRAMES)]
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((B, T, H, W, 3)))
+    # Warmup (compile + first paste).
+    _ = engine.compute_flow_tiled(frames, 2, tile_batch=1)
 
-    @jax.jit
-    def forward(params, frames):
-        fwd_flows, _ = model.apply(params, frames)
-        n = fwd_flows.shape[1]
-        return fwd_flows[:, n // 2]
-
-    frames = jax.device_put(jnp.asarray(frames_np))
-
-    # Warmup / compile.
-    flow = forward(params, frames)
-    jax.block_until_ready(flow)
-
-    iters = 5
+    iters = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        flow = forward(params, frames)
-    jax.block_until_ready(flow)
+    for i in range(iters):
+        flow = engine.compute_flow_tiled(frames, 2 + (i % 3), tile_batch=1)
     dt = time.perf_counter() - t0
+    assert np.isfinite(flow).all()
 
-    frames_per_sec = iters * B / dt
+    frames_per_sec = iters / dt
     print(
         json.dumps(
             {

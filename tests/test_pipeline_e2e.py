@@ -173,15 +173,16 @@ def test_pipeline_memflow_stream(video, tmp_path):
 def test_difference_overlay_colors():
     # Levels [0.1, 0.5, 1.0, 2.0, 4.0] -> green/yellow/orange/red/magenta
     # (flow_processor.py:518-533).  Probe pixels away from the legend band.
-    a = np.zeros((40, 40, 2), np.float32)
-    b = np.zeros((40, 40, 2), np.float32)
-    b[:10, :, 0] += 0.05   # |err| = 0.05 <= 0.1 -> green
-    b[10:18, :, 0] += 1.5  # 1.0 < |err| <= 2.0 -> red
-    b[18:26, :, 0] += 9.0  # |err| > 2.0 -> magenta
+    # Tall image so probe pixels stay clear of the legend band.
+    a = np.zeros((120, 40, 2), np.float32)
+    b = np.zeros((120, 40, 2), np.float32)
+    b[:30, :, 0] += 0.05    # |err| = 0.05 <= 0.1 -> green
+    b[30:60, :, 0] += 1.5   # 1.0 < |err| <= 2.0 -> red
+    b[60:90, :, 0] += 9.0   # |err| > 2.0 -> magenta
     overlay = create_difference_overlay(a, b)
     assert tuple(overlay[5, 35]) == (0, 255, 0)
-    assert tuple(overlay[15, 35]) == (255, 0, 0)
-    assert tuple(overlay[19, 35]) == (255, 0, 255)
+    assert tuple(overlay[45, 35]) == (255, 0, 0)
+    assert tuple(overlay[75, 35]) == (255, 0, 255)
 
 
 def test_show_tiles_report(video, capsys):

@@ -1,0 +1,149 @@
+"""Tests for the visualizer core and GUI launcher logic (headless)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tpuflow.pipeline.cache import FlowCacheManager
+from tpuflow.tools.gui import (
+    GuiSettings,
+    build_command,
+    cache_status,
+    preview_cache_path,
+    preview_output_path,
+)
+from tpuflow.tools.visualizer import FlowInspector
+
+
+@pytest.fixture(scope="module")
+def video_with_cache(tmp_path_factory):
+    """Synthetic video + a complete flow cache with reference layout."""
+    d = tmp_path_factory.mktemp("viz")
+    path = str(d / "clip.avi")
+    n, w, h = 5, 64, 48
+    fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+    out = cv2.VideoWriter(path, fourcc, 10.0, (w, h))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        frame = np.roll(base, i * 2, axis=1)
+        out.write(frame)
+    out.release()
+
+    cache_dir = str(d / "clip_flow_cache_videoflow_mof_sintel_standard_seq5_start0_frames5")
+    mgr = FlowCacheManager()
+    for i in range(n):
+        flow = np.full((h, w, 2), [-2.0, 0.0], np.float32)
+        mgr.save_flow_to_cache(flow, cache_dir, i)
+    return path, cache_dir, n
+
+
+def test_inspector_loads_and_analyzes(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    assert len(insp.flow_files) == n
+    assert len(insp.frames) >= n + 1
+
+    q = insp.quality_map(0)
+    assert q.shape == (48, 64, 3) and q.dtype == np.uint8
+
+    t = insp.turbulence_map(0)
+    assert t.shape == (48, 64, 3)
+
+    fx, fy = insp.sample_flow(0, 30, 20)
+    assert (fx, fy) == (-2.0, 0.0)
+
+    # LODs were generated during preload.
+    assert (0, 4) in insp.lod_cache
+
+    stats = insp.cache_statistics()
+    assert stats["frames"] == n
+    assert stats["complete_lods"]
+
+
+def test_inspector_pixel_analysis(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    res = insp.analyze_pixel(0, 30, 20)
+    assert "coarse" in res
+    assert res["coarse"]["flow"].shape == (2,)
+
+
+def test_inspector_correct_range_writes_corrected_dir(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    results = insp.correct_range(0, 2, progress=False)
+    corrected_dir = cache_dir + "_corrected"
+    assert os.path.isdir(corrected_dir)
+    for r in results:
+        assert os.path.exists(r["path"])
+
+
+def test_find_flow_files_excludes_lods(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    files = FlowInspector.find_flow_files(cache_dir)
+    assert len(files) == n
+    assert not any("_lod" in f for f in files)
+
+
+# ---------------------------------------------------------------------------
+# GUI launcher core
+# ---------------------------------------------------------------------------
+def test_build_command_defaults_minimal():
+    s = GuiSettings(input="a.mp4", output="out")
+    cmd = build_command(s, python="py")
+    assert cmd[:3] == ["py", "-m", "tpuflow.tools.cli"]
+    assert "--fast" not in cmd and "--frames" not in cmd
+
+
+def test_build_command_full():
+    s = GuiSettings(
+        input="a.mp4", output="out", fast=True, tile=True, taa=True,
+        frames=50, sequence_length=3, model="memflow", stage="kitti",
+        flow_format="hsv", save_flow="both",
+    )
+    cmd = build_command(s, python="py")
+    for part in ["--fast", "--tile", "--taa", "--frames", "50",
+                 "--sequence-length", "3", "--model", "memflow",
+                 "--stage", "kitti", "--flow-format", "hsv",
+                 "--save-flow", "both"]:
+        assert part in cmd
+
+
+def test_settings_roundtrip(tmp_path):
+    p = str(tmp_path / "settings.json")
+    s = GuiSettings(input="x.mp4", frames=42, tile=True)
+    s.save(p)
+    loaded = GuiSettings.load(p)
+    assert loaded.input == "x.mp4" and loaded.frames == 42 and loaded.tile
+
+
+def test_settings_load_ignores_unknown(tmp_path):
+    p = str(tmp_path / "settings.json")
+    json.dump({"input": "y.mp4", "bogus_key": 1}, open(p, "w"))
+    loaded = GuiSettings.load(p)
+    assert loaded.input == "y.mp4"
+
+
+def test_preview_paths_match_pipeline(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    s = GuiSettings(input=path, output="results", frames=5)
+    assert preview_output_path(s).endswith("clip_5f_30fps_MJPG.avi")
+    assert preview_cache_path(s) == cache_dir.replace("frames5", "frames5")
+
+
+def test_cache_status_states(video_with_cache, tmp_path):
+    path, cache_dir, n = video_with_cache
+    s = GuiSettings(input=path, frames=n, use_flow_cache=cache_dir)
+    state, detail = cache_status(s)
+    assert state == "complete"
+
+    s2 = GuiSettings(input=path, frames=n, use_flow_cache=str(tmp_path / "none"))
+    assert cache_status(s2)[0] == "none"
+
+    s3 = GuiSettings(input=path, frames=n + 3, use_flow_cache=cache_dir)
+    assert cache_status(s3)[0] == "partial"

@@ -283,13 +283,17 @@ def make_corr(
     fmap2: jnp.ndarray,
     num_levels: int = 4,
     impl: str = "auto",
-    materialize_threshold: int = 96 * 96,
+    materialize_threshold: int = 168 * 168,
 ):
     """Pick the correlation implementation.
 
-    'auto' materializes small volumes (cheap lookups thereafter) and goes
-    on-the-fly for large feature grids where the full volume would blow
-    HBM (static decision — shapes are known at trace time)."""
+    'auto' materializes the volume wherever it fits (build is one
+    MXU-friendly matmul and lookups read scalars — the fast path; covers
+    1280x1280 tiles, hw=160x160) and goes on-the-fly only for larger
+    feature grids where the full volume would blow HBM (full-frame 4K;
+    static decision — shapes are known at trace time).  The on-the-fly
+    path trades gather bandwidth for memory; its Pallas fusion is the
+    planned fix (SURVEY §7.2 step 4)."""
     if impl == "materialized":
         return CorrPyramid.build(fmap1, fmap2, num_levels)
     if impl == "direct":

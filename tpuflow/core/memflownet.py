@@ -22,15 +22,15 @@ mask, so `scan` compiles once regardless of video length.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple  # noqa: F401
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import make_corr
+from .corr import CorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .update import UpdateBlock, upsample_flow_convex
+from .update import MaskHead, UpdateBlock, upsample_flow_convex
 
 Dtype = Any
 
@@ -109,6 +109,55 @@ class MemoryReader(nn.Module):
         return nn.Conv(128, (1, 1), dtype=self.dtype, name="out_proj")(read)
 
 
+class _MemCarry(NamedTuple):
+    """Scan carry for the MemFlow refinement loop; context, correlation
+    state, and the (read-only during refinement) memory ride along."""
+
+    flow: jnp.ndarray
+    h: jnp.ndarray
+    motion: jnp.ndarray
+    inp: jnp.ndarray
+    corr: Tuple
+    memory: MemoryState
+
+
+def _corr_state(corr) -> Tuple:
+    if isinstance(corr, OnTheFlyCorr):
+        return (corr.fmap1, tuple(corr.pyramid))
+    return ((corr.b, corr.h, corr.w), tuple(corr.pyramid))
+
+
+def _corr_from_state(state: Tuple, impl: str):
+    if impl == "OnTheFlyCorr":
+        return OnTheFlyCorr(state[0], list(state[1]))
+    return CorrPyramid(list(state[1]), state[0])
+
+
+class _MemIteration(nn.Module):
+    """One scanned refinement iteration: memory read + GRU update."""
+
+    hidden_dim: int
+    corr_radius: int
+    corr_impl: str
+    key_dim: int
+    value_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: "_MemCarry", _):
+        corr = _corr_from_state(carry.corr, self.corr_impl)
+        reader = MemoryReader(
+            self.key_dim, self.value_dim, dtype=self.dtype, name="memory_reader"
+        )
+        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
+
+        mem_read = reader(carry.motion, carry.memory)
+        cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
+        h, motion, delta = update(carry.h, carry.inp, cf, carry.flow, mem_read)
+        flow = carry.flow + delta.astype(jnp.float32)
+        return carry._replace(flow=flow, h=h, motion=motion), None
+
+
 class MemFlowNet(nn.Module):
     """Streaming two-frame flow with motion memory.
 
@@ -161,8 +210,6 @@ class MemFlowNet(nn.Module):
             self.corr_impl,
         )
 
-        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
-        reader = MemoryReader(self.key_dim, self.value_dim, dtype=self.dtype, name="memory_reader")
         k_proj = nn.Dense(self.key_dim, dtype=self.dtype, name="k_proj")
         v_proj = nn.Dense(self.value_dim, dtype=self.dtype, name="v_proj")
 
@@ -171,15 +218,32 @@ class MemFlowNet(nn.Module):
             if flow_init is None
             else flow_init.astype(jnp.float32)
         )
-        hcur = hidden
-        motion = jnp.zeros((b, h8, w8, 128), self.dtype)
-        mask = None
 
-        for _ in range(self.decoder_depth):
-            mem_read = reader(motion, memory)
-            cf = corr.lookup(flow, self.corr_radius).astype(self.dtype)
-            hcur, motion, delta, mask = update(hcur, inp, cf, flow, mem_read)
-            flow = flow + delta.astype(jnp.float32)
+        scanned = nn.scan(
+            _MemIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.decoder_depth,
+        )(
+            hidden_dim=self.hidden_dim,
+            corr_radius=self.corr_radius,
+            corr_impl=type(corr).__name__,
+            key_dim=self.key_dim,
+            value_dim=self.value_dim,
+            dtype=self.dtype,
+            name="iteration",
+        )
+        carry = _MemCarry(
+            flow=flow,
+            h=hidden,
+            motion=jnp.zeros((b, h8, w8, 128), self.dtype),
+            inp=inp,
+            corr=_corr_state(corr),
+            memory=memory,
+        )
+        carry, _ = scanned(carry, None)
+        flow, hcur, motion = carry.flow, carry.h, carry.motion
+        mask = MaskHead(dtype=self.dtype, name="mask_head")(hcur)
 
         # Memory write: per-position key/value summaries of the final motion.
         key = k_proj(motion).reshape(b, h8 * w8, self.key_dim)

@@ -24,15 +24,15 @@ bi-directional output).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import make_corr
+from .corr import CorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .update import UpdateBlock, upsample_flow_convex
+from .update import MaskHead, UpdateBlock, upsample_flow_convex
 
 Dtype = Any
 
@@ -59,6 +59,85 @@ class TemporalFusion(nn.Module):
         x = nn.relu(nn.Conv(self.dim * 2, (1, 1), dtype=self.dtype, name="fuse1")(x))
         x = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="fuse2")(x)
         return x.reshape(b, n, h, w, self.dim)
+
+
+class _MOFCarry(NamedTuple):
+    """lax.scan carry for the refinement loop.  The correlation state and
+    context `inp` ride along unchanged (scan carries must be pytrees; the
+    arrays are alive for the whole loop anyway)."""
+
+    flow_fwd: jnp.ndarray
+    flow_bwd: jnp.ndarray
+    h_fwd: jnp.ndarray
+    h_bwd: jnp.ndarray
+    motion_fwd: jnp.ndarray
+    motion_bwd: jnp.ndarray
+    inp: jnp.ndarray
+    corr_fwd: Tuple
+    corr_bwd: Tuple
+
+
+def _corr_state(corr) -> Tuple:
+    """Flatten a correlation object into a pytree for the scan carry."""
+    if isinstance(corr, OnTheFlyCorr):
+        return (corr.fmap1, tuple(corr.pyramid))
+    return ((corr.b, corr.h, corr.w), tuple(corr.pyramid))
+
+
+def _corr_from_state(state: Tuple, impl: str):
+    if impl == "OnTheFlyCorr":
+        return OnTheFlyCorr(state[0], list(state[1]))
+    return CorrPyramid(list(state[1]), state[0])
+
+
+class _MOFIteration(nn.Module):
+    """One refinement iteration (scanned body): temporal fusion + shared
+    bidirectional SKFlow/GRU update."""
+
+    hidden_dim: int
+    corr_radius: int
+    corr_impl: str
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: "_MOFCarry", _):
+        b, n, h8, w8, _c = carry.motion_fwd.shape
+        corr_fwd = _corr_from_state(carry.corr_fwd, self.corr_impl)
+        corr_bwd = _corr_from_state(carry.corr_bwd, self.corr_impl)
+
+        fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
+        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
+        # Direction embedding lets the shared update block distinguish
+        # forward from backward passes.
+        dir_embed = self.param(
+            "dir_embed", nn.initializers.normal(0.02), (2, 128), jnp.float32
+        )
+
+        fused = fusion(carry.motion_fwd, carry.motion_bwd).reshape(b * n, h8, w8, 128)
+
+        cf = corr_fwd.lookup(carry.flow_fwd, self.corr_radius).astype(self.dtype)
+        h_fwd, m_f, d_f = update(
+            carry.h_fwd, carry.inp, cf, carry.flow_fwd,
+            fused + dir_embed[0].astype(self.dtype),
+        )
+        flow_fwd = carry.flow_fwd + d_f.astype(jnp.float32)
+
+        cb = corr_bwd.lookup(carry.flow_bwd, self.corr_radius).astype(self.dtype)
+        h_bwd, m_b, d_b = update(
+            carry.h_bwd, carry.inp, cb, carry.flow_bwd,
+            fused + dir_embed[1].astype(self.dtype),
+        )
+        flow_bwd = carry.flow_bwd + d_b.astype(jnp.float32)
+
+        new_carry = carry._replace(
+            flow_fwd=flow_fwd,
+            flow_bwd=flow_bwd,
+            h_fwd=h_fwd,
+            h_bwd=h_bwd,
+            motion_fwd=m_f.reshape(b, n, h8, w8, -1),
+            motion_bwd=m_b.reshape(b, n, h8, w8, -1),
+        )
+        return new_carry, None
 
 
 class MOFNet(nn.Module):
@@ -113,40 +192,38 @@ class MOFNet(nn.Module):
             self.corr_levels, self.corr_impl,
         )
 
-        # ---- iterative refinement ----
-        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
-        fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
-        # Direction embedding lets the shared update block distinguish
-        # forward from backward passes.
-        dir_embed = self.param(
-            "dir_embed", nn.initializers.normal(0.02), (2, 128), jnp.float32
+        # ---- iterative refinement (lax.scan over iterations: shared
+        # weights, one compiled iteration body, buffers reused) ----
+        scanned = nn.scan(
+            _MOFIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.decoder_depth,
+        )(
+            hidden_dim=self.hidden_dim,
+            corr_radius=self.corr_radius,
+            corr_impl=type(corr_fwd).__name__,
+            dtype=self.dtype,
+            name="iteration",
         )
 
-        flow_fwd = jnp.zeros((b * n, h8, w8, 2), jnp.float32)
-        flow_bwd = jnp.zeros((b * n, h8, w8, 2), jnp.float32)
-        h_fwd = hidden
-        h_bwd = hidden
-        motion_fwd = jnp.zeros((b, n, h8, w8, 128), self.dtype)
-        motion_bwd = jnp.zeros((b, n, h8, w8, 128), self.dtype)
-        mask_fwd = mask_bwd = None
+        carry = _MOFCarry(
+            flow_fwd=jnp.zeros((b * n, h8, w8, 2), jnp.float32),
+            flow_bwd=jnp.zeros((b * n, h8, w8, 2), jnp.float32),
+            h_fwd=hidden,
+            h_bwd=hidden,
+            motion_fwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
+            motion_bwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
+            inp=inp,
+            corr_fwd=_corr_state(corr_fwd),
+            corr_bwd=_corr_state(corr_bwd),
+        )
+        carry, _ = scanned(carry, None)
+        flow_fwd, flow_bwd = carry.flow_fwd, carry.flow_bwd
 
-        for _ in range(self.decoder_depth):
-            fused = fusion(motion_fwd, motion_bwd).reshape(b * n, h8, w8, 128)
-
-            cf = corr_fwd.lookup(flow_fwd, self.corr_radius).astype(self.dtype)
-            h_fwd, m_f, d_f, mask_fwd = update(
-                h_fwd, inp, cf, flow_fwd, fused + dir_embed[0].astype(self.dtype)
-            )
-            flow_fwd = flow_fwd + d_f.astype(jnp.float32)
-
-            cb = corr_bwd.lookup(flow_bwd, self.corr_radius).astype(self.dtype)
-            h_bwd, m_b, d_b, mask_bwd = update(
-                h_bwd, inp, cb, flow_bwd, fused + dir_embed[1].astype(self.dtype)
-            )
-            flow_bwd = flow_bwd + d_b.astype(jnp.float32)
-
-            motion_fwd = m_f.reshape(b, n, h8, w8, -1)
-            motion_bwd = m_b.reshape(b, n, h8, w8, -1)
+        mask_head = MaskHead(dtype=self.dtype, name="mask_head")
+        mask_fwd = mask_head(carry.h_fwd)
+        mask_bwd = mask_head(carry.h_bwd)
 
         up_fwd = upsample_flow_convex(flow_fwd, mask_fwd.astype(jnp.float32))
         up_bwd = upsample_flow_convex(flow_bwd, mask_bwd.astype(jnp.float32))

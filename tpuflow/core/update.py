@@ -112,7 +112,10 @@ class UpdateBlock(nn.Module):
     Inputs: hidden state h, context inp, correlation lookup, current flow,
     and (optionally) an extra motion feature from temporal fusion
     (VideoFlow) or memory read (MemFlow), concatenated before the GRU.
-    Returns (new_hidden, motion_feature, delta_flow, up_mask)."""
+    Returns (new_hidden, motion_feature, delta_flow).  The convex-upsample
+    mask is a separate head (MaskHead) applied once to the final hidden
+    state — intermediate iterations never upsample, so computing the mask
+    per-iteration (as a fused block would) is pure waste."""
 
     hidden_dim: int = 128
     use_sk: bool = True
@@ -131,8 +134,7 @@ class UpdateBlock(nn.Module):
 
         h = SepConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(h, x)
         delta = FlowHead(dtype=self.dtype, name="flow_head")(h)
-        mask = MaskHead(dtype=self.dtype, name="mask_head")(h)
-        return h, motion, delta, mask
+        return h, motion, delta
 
 
 def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

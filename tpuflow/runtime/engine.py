@@ -42,7 +42,16 @@ from .tiles import calculate_tile_grid, extract_tile_batch, paste_tile_flows
 from .windows import all_window_indices, centered_window_indices, trailing_window_indices
 
 
-def build_model(cfg: ModelConfig, encoder: str = "cnn"):
+def default_compute_dtype():
+    """bf16 on accelerators (MXU-native), f32 on CPU (tests/parity)."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return jnp.float32 if backend == "cpu" else jnp.bfloat16
+
+
+def build_model(cfg: ModelConfig, encoder: str = "cnn", dtype=None):
     kw = dict(
         corr_levels=cfg.corr_levels,
         corr_radius=cfg.corr_radius,
@@ -51,6 +60,7 @@ def build_model(cfg: ModelConfig, encoder: str = "cnn"):
         hidden_dim=cfg.hidden_dim,
         context_dim=cfg.context_dim,
         encoder=encoder,
+        dtype=dtype or default_compute_dtype(),
     )
     if cfg.model == "memflow":
         return MemFlowNet(memory_capacity=cfg.memory_capacity, **kw)
@@ -69,12 +79,19 @@ class FlowEngine:
         params=None,
         seed: int = 0,
         device: Optional[jax.Device] = None,
+        mesh=None,
+        dtype=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — window
+        batches are sharded over it (DP over frames/tiles, SURVEY §2.4);
+        params replicate.  None = single-device.  `dtype`: compute dtype
+        (default bf16 on accelerators, f32 on CPU)."""
         self.config = config
-        self.model = build_model(config, encoder)
+        self.model = build_model(config, encoder, dtype)
         self.params = params
         self.seed = seed
         self.device = device
+        self.mesh = mesh
         self._loaded = False
         self._fwd_cache: Dict = {}
         self._stream_cache: Dict = {}
@@ -131,7 +148,6 @@ class FlowEngine:
         pt, pb, pl, pr = pad_dims(h, w, 8)
         model = self.model
 
-        @jax.jit
         def fwd(params, windows):
             x = windows.astype(jnp.float32)
             if windows.dtype == jnp.uint8:  # static at trace time
@@ -141,6 +157,20 @@ class FlowEngine:
             n = fwd_flows.shape[1]
             flow = fwd_flows[:, n // 2]
             return flow[:, pt : pt + h, pl : pl + w]
+
+        if self.mesh is not None:
+            # DP over the window batch: batch dim sharded on 'data',
+            # params replicated; per-device compute is fully independent
+            # (zero steady-state collectives, SURVEY §5.8).
+            from .sharding import batch_sharding, replicated
+
+            fwd = jax.jit(
+                fwd,
+                in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, 5)),
+                out_shardings=batch_sharding(self.mesh, 4),
+            )
+        else:
+            fwd = jax.jit(fwd)
 
         self._fwd_cache[key] = fwd
         return fwd
@@ -251,9 +281,19 @@ class FlowEngine:
             [centered_window_indices(n, i, t) for i in frame_indices]
         )  # [B, T]
         windows = arr[wins]  # [B, T, h, w, 3]
+
+        # Pad the batch to a multiple of the mesh's data axis so the shard
+        # split is even; padded windows replicate the last one.
+        pad_n = 0
+        if self.mesh is not None:
+            d = self.mesh.shape.get("data", 1)
+            pad_n = (-len(windows)) % d
+            if pad_n:
+                windows = np.concatenate([windows, np.repeat(windows[-1:], pad_n, 0)])
+
         fwd = self._videoflow_forward(h, w)
-        flows = fwd(self.params, jnp.asarray(windows))
-        return np.asarray(flows)
+        flows = np.asarray(fwd(self.params, jnp.asarray(windows)))
+        return flows[: len(flows) - pad_n] if pad_n else flows
 
     def compute_flow_tiled(
         self,
