@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Benchmark harness reproducing all five BASELINE.json configs.
+
+  1. VideoFlow MOF_sintel, seq-len 5, 100 frames of a 480p clip
+  2. VideoFlow BOF_sintel bi-directional 3-frame flow, same clip
+  3. Tile-mode 1080p MOF inference with .npz cache write + reuse
+  4. MemFlowNet_sintel streaming with carried memory over 300 frames
+  5. Full pipeline: 1080p -> flow + TAA + gamedev RG encode
+
+Each prints a JSON line; `python benchmarks/run_benchmarks.py --quick`
+shrinks frame counts for smoke runs.  The repo-root bench.py remains the
+driver's single-line primary metric (config 3's compute regime).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _engine(model="videoflow", architecture="mof", seq=5):
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
+
+    cfg = ModelConfig(model=model, architecture=architecture, sequence_length=seq)
+    eng = FlowEngine(cfg)
+    eng.load_model("__bench_random_init__")
+    return eng
+
+
+def _frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def _emit(name, frames_done, seconds, extra=None):
+    rec = {
+        "benchmark": name,
+        "frames": frames_done,
+        "seconds": round(seconds, 3),
+        "fps": round(frames_done / seconds, 3) if seconds > 0 else None,
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+    return rec
+
+
+def bench_mof_480p(n_frames=100, batch=8):
+    eng = _engine("videoflow", "mof", 5)
+    frames = _frames(min(n_frames, 24), 480, 854)
+    # Warmup/compile
+    eng.compute_flow_batch(frames, list(range(min(batch, len(frames)))))
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_frames:
+        idxs = [i % len(frames) for i in range(done, min(done + batch, n_frames))]
+        eng.compute_flow_batch(frames, idxs)
+        done += len(idxs)
+    return _emit("mof_sintel_480p_seq5", n_frames, time.perf_counter() - t0)
+
+
+def bench_bof_480p(n_frames=100, batch=8):
+    eng = _engine("videoflow", "bof", 3)
+    frames = _frames(min(n_frames, 24), 480, 854)
+    eng.compute_flow_batch(frames, list(range(min(batch, len(frames)))))
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_frames:
+        idxs = [i % len(frames) for i in range(done, min(done + batch, n_frames))]
+        eng.compute_flow_batch(frames, idxs)
+        done += len(idxs)
+    return _emit("bof_sintel_480p_3frame", n_frames, time.perf_counter() - t0)
+
+
+def bench_tile_1080p_with_cache(n_frames=4):
+    from tpuflow.pipeline.cache import FlowCacheManager
+
+    eng = _engine("videoflow", "mof", 5)
+    frames = _frames(8, 1080, 1920)
+    mgr = FlowCacheManager()
+    eng.compute_flow_tiled(frames, 2, tile_batch=1)  # warmup
+
+    with tempfile.TemporaryDirectory() as cache_dir:
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            flow = eng.compute_flow_tiled(frames, 2 + (i % 3), tile_batch=1)
+            mgr.save_flow_to_cache(flow, cache_dir, i, "npz")
+        compute_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            mgr.load_cached_flow(cache_dir, i)
+        reuse_s = time.perf_counter() - t0
+    return _emit(
+        "mof_tile_1080p_cache", n_frames, compute_s,
+        {"cache_reuse_fps": round(n_frames / reuse_s, 1)},
+    )
+
+
+def bench_memflow_streaming(n_frames=300, h=432, w=768):
+    eng = _engine("memflow", seq=3)
+    frames = np.stack(_frames(n_frames, h, w))
+    eng.stream_flows(frames[:8])  # compile a small scan first? shapes differ; compile full:
+    t0 = time.perf_counter()
+    flows = eng.stream_flows(frames)
+    dt = time.perf_counter() - t0
+    assert flows.shape[0] == n_frames
+    return _emit(f"memflow_streaming_{h}p", n_frames, dt)
+
+
+def bench_full_pipeline_1080p(n_frames=4):
+    """Flow + TAA + gamedev encode, end to end on synthetic 1080p."""
+    import jax.numpy as jnp
+
+    from tpuflow.pipeline import ops
+
+    eng = _engine("videoflow", "mof", 5)
+    frames = _frames(8, 1080, 1920)
+    eng.compute_flow_tiled(frames, 2, tile_batch=1)  # warmup
+
+    prev_flow = None
+    taa_hist = frames[0].astype(np.float32)
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        flow = eng.compute_flow_tiled(frames, 2 + (i % 3), tile_batch=1)
+        encoded = np.asarray(ops.encode_flow(flow, 1920, 1080, "gamedev"))
+        if prev_flow is not None:
+            taa_hist = np.asarray(
+                ops.taa_step(frames[i].astype(np.float32), prev_flow, taa_hist, 0.1)
+            )
+        prev_flow = flow
+    dt = time.perf_counter() - t0
+    assert encoded.dtype == np.uint8
+    return _emit("full_pipeline_1080p", n_frames, dt)
+
+
+BENCHMARKS = {
+    "mof480": bench_mof_480p,
+    "bof480": bench_bof_480p,
+    "tile1080": bench_tile_1080p_with_cache,
+    "memflow": bench_memflow_streaming,
+    "pipeline1080": bench_full_pipeline_1080p,
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", choices=sorted(BENCHMARKS), default=None)
+    parser.add_argument("--quick", action="store_true", help="tiny frame counts")
+    args = parser.parse_args()
+
+    kwargs = {}
+    if args.quick:
+        kwargs = {
+            "mof480": dict(n_frames=8, batch=4),
+            "bof480": dict(n_frames=8, batch=4),
+            "tile1080": dict(n_frames=2),
+            "memflow": dict(n_frames=16, h=240, w=432),
+            "pipeline1080": dict(n_frames=2),
+        }
+
+    names = [args.only] if args.only else sorted(BENCHMARKS)
+    for name in names:
+        BENCHMARKS[name](**(kwargs.get(name, {}) if args.quick else {}))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,7 @@ def test_on_the_fly_corr_matches_materialized():
 def test_make_corr_auto_selection():
     f = jnp.zeros((1, 8, 8, 4))
     assert isinstance(make_corr(f, f, 2, "auto"), CorrPyramid)
-    big = jnp.zeros((1, 104, 104, 4))
+    big = jnp.zeros((1, 176, 176, 4))
     assert isinstance(make_corr(big, big, 2, "auto"), OnTheFlyCorr)
 
 

@@ -41,7 +41,9 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
         "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
     )
     corr = corr / jnp.sqrt(jnp.asarray(c, dtype=corr.dtype))
-    return corr.reshape(b, h, w, h, w)
+    # Store the volume in the feature dtype: f32 accumulation on the MXU,
+    # bf16 at rest halves the dominant HBM cost (SURVEY §7.3 item 2).
+    return corr.astype(fmap1.dtype).reshape(b, h, w, h, w)
 
 
 def build_corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarray]:
@@ -87,13 +89,14 @@ def _bilinear_gather(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
 
-    vol = volume[..., 0]  # [N, H, W]
+    vol = volume[..., 0]  # [N, H, W] — gathered in storage dtype; only the
+    # sampled corner values upcast to f32 for the lerp.
     batch_idx = jnp.arange(n)[:, None]
 
-    v00 = vol[batch_idx, y0i, x0i]
-    v01 = vol[batch_idx, y0i, x1i]
-    v10 = vol[batch_idx, y1i, x0i]
-    v11 = vol[batch_idx, y1i, x1i]
+    v00 = vol[batch_idx, y0i, x0i].astype(jnp.float32)
+    v01 = vol[batch_idx, y0i, x1i].astype(jnp.float32)
+    v10 = vol[batch_idx, y1i, x0i].astype(jnp.float32)
+    v11 = vol[batch_idx, y1i, x1i].astype(jnp.float32)
 
     return (
         v00 * (1 - wx) * (1 - wy)
@@ -143,7 +146,7 @@ class CorrPyramid:
             centroid = (base[None] + flow) / (2.0**lvl)  # [B, H, W, 2]
             coords = centroid[..., None, :] + delta[None, None, None]  # [B,H,W,P,2]
             coords = coords.reshape(b * h * w, -1, 2)
-            sampled = _bilinear_gather(volume.astype(jnp.float32), coords)
+            sampled = _bilinear_gather(volume, coords)
             out.append(sampled.reshape(b, h, w, -1))
         return jnp.concatenate(out, axis=-1)
 

@@ -110,15 +110,13 @@ class MemoryReader(nn.Module):
 
 
 class _MemCarry(NamedTuple):
-    """Scan carry for the MemFlow refinement loop; context, correlation
-    state, and the (read-only during refinement) memory ride along."""
+    """Scan carry for the MemFlow refinement loop — per-iteration state
+    only; correlation pyramids / context / memory are broadcast
+    (loop-invariant) inputs so XLA never double-buffers them."""
 
     flow: jnp.ndarray
     h: jnp.ndarray
     motion: jnp.ndarray
-    inp: jnp.ndarray
-    corr: Tuple
-    memory: MemoryState
 
 
 def _corr_state(corr) -> Tuple:
@@ -144,16 +142,17 @@ class _MemIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry: "_MemCarry", _):
-        corr = _corr_from_state(carry.corr, self.corr_impl)
+    def __call__(self, carry: "_MemCarry", consts):
+        inp, corr_state, memory = consts
+        corr = _corr_from_state(corr_state, self.corr_impl)
         reader = MemoryReader(
             self.key_dim, self.value_dim, dtype=self.dtype, name="memory_reader"
         )
         update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
 
-        mem_read = reader(carry.motion, carry.memory)
+        mem_read = reader(carry.motion, memory)
         cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
-        h, motion, delta = update(carry.h, carry.inp, cf, carry.flow, mem_read)
+        h, motion, delta = update(carry.h, inp, cf, carry.flow, mem_read)
         flow = carry.flow + delta.astype(jnp.float32)
         return carry._replace(flow=flow, h=h, motion=motion), None
 
@@ -223,6 +222,7 @@ class MemFlowNet(nn.Module):
             _MemIteration,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=self.decoder_depth,
         )(
             hidden_dim=self.hidden_dim,
@@ -237,11 +237,8 @@ class MemFlowNet(nn.Module):
             flow=flow,
             h=hidden,
             motion=jnp.zeros((b, h8, w8, 128), self.dtype),
-            inp=inp,
-            corr=_corr_state(corr),
-            memory=memory,
         )
-        carry, _ = scanned(carry, None)
+        carry, _ = scanned(carry, (inp, _corr_state(corr), memory))
         flow, hcur, motion = carry.flow, carry.h, carry.motion
         mask = MaskHead(dtype=self.dtype, name="mask_head")(hcur)
 

@@ -62,9 +62,10 @@ class TemporalFusion(nn.Module):
 
 
 class _MOFCarry(NamedTuple):
-    """lax.scan carry for the refinement loop.  The correlation state and
-    context `inp` ride along unchanged (scan carries must be pytrees; the
-    arrays are alive for the whole loop anyway)."""
+    """lax.scan carry for the refinement loop.  Only the per-iteration
+    state lives here — the correlation pyramids and context are broadcast
+    (loop-invariant) inputs; putting them in the carry would make XLA
+    double-buffer gigabytes of cost volume."""
 
     flow_fwd: jnp.ndarray
     flow_bwd: jnp.ndarray
@@ -72,9 +73,6 @@ class _MOFCarry(NamedTuple):
     h_bwd: jnp.ndarray
     motion_fwd: jnp.ndarray
     motion_bwd: jnp.ndarray
-    inp: jnp.ndarray
-    corr_fwd: Tuple
-    corr_bwd: Tuple
 
 
 def _corr_state(corr) -> Tuple:
@@ -100,10 +98,11 @@ class _MOFIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry: "_MOFCarry", _):
+    def __call__(self, carry: "_MOFCarry", consts):
+        inp, corr_fwd_state, corr_bwd_state = consts
         b, n, h8, w8, _c = carry.motion_fwd.shape
-        corr_fwd = _corr_from_state(carry.corr_fwd, self.corr_impl)
-        corr_bwd = _corr_from_state(carry.corr_bwd, self.corr_impl)
+        corr_fwd = _corr_from_state(corr_fwd_state, self.corr_impl)
+        corr_bwd = _corr_from_state(corr_bwd_state, self.corr_impl)
 
         fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
         update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
@@ -117,14 +116,14 @@ class _MOFIteration(nn.Module):
 
         cf = corr_fwd.lookup(carry.flow_fwd, self.corr_radius).astype(self.dtype)
         h_fwd, m_f, d_f = update(
-            carry.h_fwd, carry.inp, cf, carry.flow_fwd,
+            carry.h_fwd, inp, cf, carry.flow_fwd,
             fused + dir_embed[0].astype(self.dtype),
         )
         flow_fwd = carry.flow_fwd + d_f.astype(jnp.float32)
 
         cb = corr_bwd.lookup(carry.flow_bwd, self.corr_radius).astype(self.dtype)
         h_bwd, m_b, d_b = update(
-            carry.h_bwd, carry.inp, cb, carry.flow_bwd,
+            carry.h_bwd, inp, cb, carry.flow_bwd,
             fused + dir_embed[1].astype(self.dtype),
         )
         flow_bwd = carry.flow_bwd + d_b.astype(jnp.float32)
@@ -198,6 +197,7 @@ class MOFNet(nn.Module):
             _MOFIteration,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,  # loop-invariant: corr pyramids + context
             length=self.decoder_depth,
         )(
             hidden_dim=self.hidden_dim,
@@ -214,11 +214,9 @@ class MOFNet(nn.Module):
             h_bwd=hidden,
             motion_fwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
             motion_bwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
-            inp=inp,
-            corr_fwd=_corr_state(corr_fwd),
-            corr_bwd=_corr_state(corr_bwd),
         )
-        carry, _ = scanned(carry, None)
+        consts = (inp, _corr_state(corr_fwd), _corr_state(corr_bwd))
+        carry, _ = scanned(carry, consts)
         flow_fwd, flow_bwd = carry.flow_fwd, carry.flow_bwd
 
         mask_head = MaskHead(dtype=self.dtype, name="mask_head")

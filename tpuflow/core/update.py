@@ -30,6 +30,7 @@ class MotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, corr_feat, flow):
+        flow = flow.astype(self.dtype)
         c = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype, name="convc1")(corr_feat))
         c = nn.relu(nn.Conv(192, (3, 3), dtype=self.dtype, name="convc2")(c))
         f = nn.relu(nn.Conv(128, (7, 7), dtype=self.dtype, name="convf1")(flow))

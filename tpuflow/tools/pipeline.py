@@ -161,9 +161,24 @@ class FlowPipeline:
         progress: bool = True,
     ) -> List[np.ndarray]:
         """Compute flow for every frame, device-batched, writing the cache
-        as results land (recovery-unit contract, flow_processor.py:975-976)."""
+        as results land (recovery-unit contract, flow_processor.py:975-976).
+        Cache writes are offloaded to a small thread pool (native async
+        .flo writer / background npz) so IO overlaps device compute."""
+        import concurrent.futures as cf
+
         n = len(frames)
         flows: List[Optional[np.ndarray]] = [None] * n
+        io_pool = cf.ThreadPoolExecutor(max_workers=4) if cache_dir else None
+        io_futures = []
+
+        def save(flow, idx):
+            if not cache_dir:
+                return
+            io_futures.append(
+                io_pool.submit(
+                    self.cache_manager.save_flow_to_cache, flow, cache_dir, idx, cache_format
+                )
+            )
 
         iterator = None
         if progress:
