@@ -194,8 +194,7 @@ class FlowPipeline:
             all_flows = self.engine.stream_flows(frames)
             for i in range(n):
                 flows[i] = np.asarray(all_flows[i])
-                if cache_dir:
-                    self.cache_manager.save_flow_to_cache(flows[i], cache_dir, i, cache_format)
+                save(flows[i], i)
                 if iterator:
                     iterator.update(1)
         elif self.config.tile:
@@ -203,8 +202,7 @@ class FlowPipeline:
                 flows[i] = self.engine.compute_flow_tiled(
                     frames, i, overlap=self.config.tile_overlap
                 )
-                if cache_dir:
-                    self.cache_manager.save_flow_to_cache(flows[i], cache_dir, i, cache_format)
+                save(flows[i], i)
                 if iterator:
                     iterator.update(1)
         else:
@@ -214,11 +212,14 @@ class FlowPipeline:
                 batch = self.engine.compute_flow_batch(frames, idxs)
                 for j, i in enumerate(idxs):
                     flows[i] = batch[j]
-                    if cache_dir:
-                        self.cache_manager.save_flow_to_cache(flows[i], cache_dir, i, cache_format)
+                    save(flows[i], i)
                 if iterator:
                     iterator.update(len(idxs))
 
+        if io_pool is not None:
+            for fut in io_futures:
+                fut.result()  # surface write errors
+            io_pool.shutdown()
         if iterator:
             iterator.close()
         return flows  # type: ignore[return-value]
