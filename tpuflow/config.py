@@ -117,6 +117,9 @@ class PipelineConfig:
     batch_frames: int = 1              # windows batched per device step
     tile_overlap: int = 0              # optional halo blend (0 = reference hard paste)
     data_parallel: int = 1             # devices to shard frames over
+    stride_mode: str = "center"        # 'center' (reference parity) |
+                                       # 'interior' (keep all interior flows,
+                                       # (T-2)x fewer forward passes)
 
     def model_config(self) -> ModelConfig:
         return ModelConfig(

@@ -18,7 +18,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,54 +49,76 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
 def build_corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarray]:
     """Average-pool the target dims into a pyramid.
 
-    corr: [B, H, W, H2, W2] -> list of [B*H*W, H2/2^l, W2/2^l, 1]."""
+    corr: [B, H, W, H2, W2] -> list of FLAT [B*H*W, (H2/2^l)*(W2/2^l)]
+    levels.  Levels are stored 2D with the whole target plane in the minor
+    dim: H2*W2 is a multiple of 128 for /8-resolution grids of
+    multiple-of-8-padded inputs, so the (8,128) tiling pads nothing —
+    a [N, H2, W2] layout with W2=160 would pad 1.6x (gigabytes at tile
+    sizes), and a trailing unit dim would pad a whole lane-tile per
+    element."""
     b, h, w, h2, w2 = corr.shape
-    x = corr.reshape(b * h * w, h2, w2, 1)
-    pyramid = [x]
+    x = corr.reshape(b * h * w, h2, w2)
+    pyramid = [x.reshape(b * h * w, h2 * w2)]
     for _ in range(num_levels - 1):
         x = jax.lax.reduce_window(
             x,
-            0.0,
+            jnp.asarray(0.0, x.dtype),
             jax.lax.add,
-            window_dimensions=(1, 2, 2, 1),
-            window_strides=(1, 2, 2, 1),
+            window_dimensions=(1, 2, 2),
+            window_strides=(1, 2, 2),
             padding="VALID",
         ) / 4.0
-        pyramid.append(x)
+        pyramid.append(x.reshape(x.shape[0], x.shape[1] * x.shape[2]))
     return pyramid
 
 
-def _bilinear_gather(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Sample volume [N, H, W, 1] at float coords [N, P, 2] (x, y).
-    Out-of-range samples clamp to the border (zero-padding semantics of the
-    original RAFT sampler differ only outside the image; RAFT uses
-    align_corners=True grid_sample with zero padding — we use border clamp
-    whose gradient/values differ only for coords beyond the edge, where the
-    cost values are uninformative anyway).
+def pyramid_level_dims(h2: int, w2: int, level: int) -> Tuple[int, int]:
+    """Spatial dims of pyramid level `level` (VALID 2x pooling)."""
+    for _ in range(level):
+        h2, w2 = h2 // 2, w2 // 2
+    return h2, w2
 
-    Returns [N, P] sampled correlations."""
-    n, h, w, _ = volume.shape
-    x = coords[..., 0]
-    y = coords[..., 1]
+
+def _bilinear_gather(
+    volume_flat: jnp.ndarray, lh: int, lw: int, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample a flat volume [N, lh*lw] at float coords x, y: [N, P].
+    Out-of-range samples clamp to the border (RAFT's zero-padded
+    grid_sample differs only beyond the edge, where cost values are
+    uninformative anyway).
+
+    x/y stay separate arrays and gathers use FLAT linear indices: a
+    stacked [..., 2] coordinate tensor (or multi-dim index tensors) would
+    carry a tiny trailing dim that TPU layouts pad to the 128-lane tile
+    (observed 35-46x HBM inflation).
+
+    Returns [N, P] sampled correlations (f32)."""
+    n = volume_flat.shape[0]
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0u = x0.astype(jnp.int32)
+    y0u = y0.astype(jnp.int32)
+    # Clamp floor and floor+1 independently from the UNCLIPPED floor
+    # (patch-gather border semantics: fully-OOB samples replicate edge).
+    x0i = jnp.clip(x0u, 0, lw - 1)
+    x1i = jnp.clip(x0u + 1, 0, lw - 1)
+    y0i = jnp.clip(y0u, 0, lh - 1)
+    y1i = jnp.clip(y0u + 1, 0, lh - 1)
 
-    vol = volume[..., 0]  # [N, H, W] — gathered in storage dtype; only the
-    # sampled corner values upcast to f32 for the lerp.
-    batch_idx = jnp.arange(n)[:, None]
+    flat = volume_flat.reshape(-1)
+    base = (jnp.arange(n, dtype=jnp.int32) * (lh * lw))[:, None]  # [N, 1]
 
-    v00 = vol[batch_idx, y0i, x0i].astype(jnp.float32)
-    v01 = vol[batch_idx, y0i, x1i].astype(jnp.float32)
-    v10 = vol[batch_idx, y1i, x0i].astype(jnp.float32)
-    v11 = vol[batch_idx, y1i, x1i].astype(jnp.float32)
+    def take(yi, xi):
+        return jnp.take(flat, base + yi * lw + xi).astype(jnp.float32)
+
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
 
     return (
         v00 * (1 - wx) * (1 - wy)
@@ -114,40 +136,80 @@ class CorrPyramid:
       feats = pyr.lookup(flow, radius)   # [B, H, W, num_levels*(2r+1)^2]
     """
 
-    def __init__(self, pyramid: List[jnp.ndarray], shape: Tuple[int, int, int]):
-        self.pyramid = pyramid
+    def __init__(
+        self,
+        pyramid: List[jnp.ndarray],
+        shape: Tuple[int, int, int],
+        target_dims: Optional[Tuple[int, int]] = None,
+    ):
+        self.pyramid = pyramid  # flat levels [B*H*W, lh*lw]
         self.b, self.h, self.w = shape
+        # Target-plane dims of level 0 (defaults to the query grid).
+        self.h2, self.w2 = target_dims if target_dims is not None else (self.h, self.w)
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
         b, h, w, _ = fmap1.shape
+        h2, w2 = fmap2.shape[1], fmap2.shape[2]
         corr = all_pairs_correlation(fmap1, fmap2)
-        return cls(build_corr_pyramid(corr, num_levels), (b, h, w))
+        return cls(build_corr_pyramid(corr, num_levels), (b, h, w), (h2, w2))
 
     def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
         """Sample (2r+1)^2 windows around flow-displaced positions at every
         pyramid level.
 
         flow: [B, H, W, 2] at feature resolution.
-        Returns [B, H, W, L*(2r+1)^2] float32."""
+        Returns [B, H, W, L*(2r+1)^2] float32.
+
+        Patch-gather formulation: every window position of a query shares
+        the same fractional offset (the window deltas are integers), so
+        ONE (2r+2)^2 patch gather per query yields all (2r+1)^2 bilinear
+        samples via static shifts — ~3x fewer gathered elements and 4x
+        fewer gather ops than sampling each position independently.
+        Border behavior: patch coordinates clamp to the plane, so samples
+        fully outside the plane replicate the edge texel (RAFT's zero-pad
+        differs there; those cost values are uninformative either way)."""
         b, h, w, _ = flow.shape
         r = radius
-        dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        dy = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="xy"), axis=-1)  # [2r+1, 2r+1, 2]
-        delta = delta.reshape(-1, 2)  # [(2r+1)^2, 2]
+        side = 2 * r + 2  # patch side: window + 1 for the bilinear corner
+        n = b * h * w
 
         ys, xs = jnp.mgrid[0:h, 0:w]
-        base = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)  # [H, W, 2]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
 
+        jj = jnp.arange(side, dtype=jnp.int32)
         out = []
         for lvl, volume in enumerate(self.pyramid):
-            # target coords at this level: (x + fx) / 2^lvl + delta
-            centroid = (base[None] + flow) / (2.0**lvl)  # [B, H, W, 2]
-            coords = centroid[..., None, :] + delta[None, None, None]  # [B,H,W,P,2]
-            coords = coords.reshape(b * h * w, -1, 2)
-            sampled = _bilinear_gather(volume, coords)
-            out.append(sampled.reshape(b, h, w, -1))
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            cx = base_x / (2.0**lvl)
+            cy = base_y / (2.0**lvl)
+            fx0 = jnp.floor(cx)
+            fy0 = jnp.floor(cy)
+            wx = (cx - fx0)[:, None, None]  # [N, 1, 1] shared fraction
+            wy = (cy - fy0)[:, None, None]
+            px = fx0.astype(jnp.int32) - r  # patch origin
+            py = fy0.astype(jnp.int32) - r
+
+            # Patch coordinates, clamped; flat linear indices, one take.
+            xx = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)  # [N, side]
+            yy = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)
+            base = (jnp.arange(n, dtype=jnp.int32) * (lh * lw))[:, None, None]
+            idx = base + yy[:, :, None] * lw + xx[:, None, :]  # [N, side, side]
+            patch = jnp.take(volume.reshape(-1), idx.reshape(n, side * side))
+            patch = patch.reshape(n, side, side).astype(jnp.float32)
+
+            v00 = patch[:, :-1, :-1]
+            v01 = patch[:, :-1, 1:]
+            v10 = patch[:, 1:, :-1]
+            v11 = patch[:, 1:, 1:]
+            sampled = (
+                v00 * (1 - wx) * (1 - wy)
+                + v01 * wx * (1 - wy)
+                + v10 * (1 - wx) * wy
+                + v11 * wx * wy
+            )  # [N, 2r+1, 2r+1]
+            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
 
@@ -155,20 +217,22 @@ def corr_feature_dim(num_levels: int, radius: int) -> int:
     return num_levels * (2 * radius + 1) ** 2
 
 
-def _bilinear_gather_features(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Sample feature map [N, H, W, C] at float coords [N, P, 2] (x, y),
+def _bilinear_gather_features(
+    fmap: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample feature map [N, H, W, C] at float coords x, y [N, P],
     border-clamped.  Returns [N, P, C]."""
     n, h, w, c = fmap.shape
-    x = coords[..., 0]
-    y = coords[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0u = x0.astype(jnp.int32)
+    y0u = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0u, 0, w - 1)
+    x1i = jnp.clip(x0u + 1, 0, w - 1)
+    y0i = jnp.clip(y0u, 0, h - 1)
+    y1i = jnp.clip(y0u + 1, 0, h - 1)
 
     batch_idx = jnp.arange(n)[:, None]
     v00 = fmap[batch_idx, y0i, x0i]
@@ -235,30 +299,32 @@ class OnTheFlyCorr:
         b, h, w, _ = flow.shape
         r = radius
         d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        delta = jnp.stack(jnp.meshgrid(d, d, indexing="xy"), axis=-1).reshape(-1, 2)
-        p = delta.shape[0]
+        dxg, dyg = jnp.meshgrid(d, d, indexing="xy")
+        dx = dxg.reshape(-1)
+        dy = dyg.reshape(-1)
+        p = dx.shape[0]
 
         ys, xs = jnp.mgrid[0:h, 0:w]
-        base = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, h * w, 1)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, h * w, 1)
 
         f1 = self.fmap1.reshape(b, h * w, -1)
         out = []
         for lvl, f2l in enumerate(self.pyramid):
             lh, lw = f2l.shape[1], f2l.shape[2]
-            centroid = (base[None] + flow) / (2.0**lvl)
-            coords = (centroid[..., None, :] + delta[None, None, None]).reshape(
-                b, h * w, p, 2
-            )
-            x = coords[..., 0]
-            y = coords[..., 1]
+            # x/y separate: no [...,2] trailing dim (layout padding trap).
+            x = base_x / (2.0**lvl) + dx[None, None, :]  # [B, HW, P]
+            y = base_y / (2.0**lvl) + dy[None, None, :]
             x0 = jnp.floor(x)
             y0 = jnp.floor(y)
             wx = x - x0
             wy = y - y0
-            x0i = jnp.clip(x0.astype(jnp.int32), 0, lw - 1)
-            x1i = jnp.clip(x0i + 1, 0, lw - 1)
-            y0i = jnp.clip(y0.astype(jnp.int32), 0, lh - 1)
-            y1i = jnp.clip(y0i + 1, 0, lh - 1)
+            x0u = x0.astype(jnp.int32)
+            y0u = y0.astype(jnp.int32)
+            x0i = jnp.clip(x0u, 0, lw - 1)
+            x1i = jnp.clip(x0u + 1, 0, lw - 1)
+            y0i = jnp.clip(y0u, 0, lh - 1)
+            y1i = jnp.clip(y0u + 1, 0, lh - 1)
 
             # Bilinear interpolation commutes with the feature contraction,
             # so dot each corner separately: peak transient memory is one

@@ -120,15 +120,17 @@ class _MemCarry(NamedTuple):
 
 
 def _corr_state(corr) -> Tuple:
+    """Arrays-only pytree (shape info reconstructed from the query grid)."""
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
-    return ((corr.b, corr.h, corr.w), tuple(corr.pyramid))
+    return (None, tuple(corr.pyramid))
 
 
-def _corr_from_state(state: Tuple, impl: str):
+def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
-    return CorrPyramid(list(state[1]), state[0])
+    n, h, w = grid
+    return CorrPyramid(list(state[1]), (n, h, w), (h, w))
 
 
 class _MemIteration(nn.Module):
@@ -144,7 +146,8 @@ class _MemIteration(nn.Module):
     @nn.compact
     def __call__(self, carry: "_MemCarry", consts):
         inp, corr_state, memory = consts
-        corr = _corr_from_state(corr_state, self.corr_impl)
+        b, h8, w8 = carry.motion.shape[:3]
+        corr = _corr_from_state(corr_state, self.corr_impl, (b, h8, w8))
         reader = MemoryReader(
             self.key_dim, self.value_dim, dtype=self.dtype, name="memory_reader"
         )

@@ -76,16 +76,21 @@ class _MOFCarry(NamedTuple):
 
 
 def _corr_state(corr) -> Tuple:
-    """Flatten a correlation object into a pytree for the scan carry."""
+    """Flatten a correlation object into an arrays-only pytree (static
+    shape info is reconstructed from the query grid — ints in a scan
+    input would get traced)."""
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
-    return ((corr.b, corr.h, corr.w), tuple(corr.pyramid))
+    return (None, tuple(corr.pyramid))
 
 
-def _corr_from_state(state: Tuple, impl: str):
+def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
+    """grid: (N_queries, h, w) of the query feature grid (== target grid
+    for the self-shaped volumes used here)."""
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
-    return CorrPyramid(list(state[1]), state[0])
+    n, h, w = grid
+    return CorrPyramid(list(state[1]), (n, h, w), (h, w))
 
 
 class _MOFIteration(nn.Module):
@@ -101,8 +106,9 @@ class _MOFIteration(nn.Module):
     def __call__(self, carry: "_MOFCarry", consts):
         inp, corr_fwd_state, corr_bwd_state = consts
         b, n, h8, w8, _c = carry.motion_fwd.shape
-        corr_fwd = _corr_from_state(corr_fwd_state, self.corr_impl)
-        corr_bwd = _corr_from_state(corr_bwd_state, self.corr_impl)
+        grid = (b * n, h8, w8)
+        corr_fwd = _corr_from_state(corr_fwd_state, self.corr_impl, grid)
+        corr_bwd = _corr_from_state(corr_bwd_state, self.corr_impl, grid)
 
         fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
         update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")

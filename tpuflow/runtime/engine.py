@@ -175,6 +175,72 @@ class FlowEngine:
         self._fwd_cache[key] = fwd
         return fwd
 
+    def _videoflow_forward_all(self, h: int, w: int):
+        """Jitted [B, T, h, w, 3] -> [B, T-2, h, w, 2]: forward flows of
+        ALL interior frames.  The reference throws away all but the middle
+        one (videoflow_core.py:193-195); keeping them gives a T-2 x
+        throughput stride mode."""
+        key = ("vf_all", h, w)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+
+        pt, pb, pl, pr = pad_dims(h, w, 8)
+        model = self.model
+
+        def fwd(params, windows):
+            x = windows.astype(jnp.float32)
+            if windows.dtype == jnp.uint8:
+                x = x / 255.0
+            x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
+            fwd_flows, _ = model.apply(params, x)
+            return fwd_flows[:, :, pt : pt + h, pl : pl + w]
+
+        if self.mesh is not None:
+            from .sharding import batch_sharding, replicated
+
+            fwd = jax.jit(
+                fwd,
+                in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, 5)),
+                out_shardings=batch_sharding(self.mesh, 5),
+            )
+        else:
+            fwd = jax.jit(fwd)
+        self._fwd_cache[key] = fwd
+        return fwd
+
+    def compute_flows_strided(
+        self, frames: Sequence[np.ndarray], window_batch: int = 2
+    ) -> np.ndarray:
+        """Flows for EVERY frame at interior stride: windows advance by
+        T-2 frames and every interior flow is kept — (T-2)x fewer forward
+        passes than the reference's stride-1 middle-frame loop, same
+        model, same per-frame window membership up to alignment."""
+        if not self._loaded:
+            raise RuntimeError("Model not loaded. Call load_model() first.")
+        arr = np.asarray(frames)
+        n, h, w = arr.shape[:3]
+        t = self.config.sequence_length
+        stride = t - 2
+
+        starts = list(range(-1, n - 1, stride))
+        fwd = self._videoflow_forward_all(h, w)
+        flows = np.empty((n, h, w, 2), np.float32)
+
+        for b0 in range(0, len(starts), window_batch):
+            chunk = starts[b0 : b0 + window_batch]
+            pad_n = window_batch - len(chunk)
+            idx = np.stack(
+                [np.clip(np.arange(a, a + t), 0, n - 1) for a in chunk]
+                + [np.zeros(t, np.int64)] * pad_n
+            )
+            out = np.asarray(fwd(self.params, jnp.asarray(arr[idx])))
+            for j, a in enumerate(chunk):
+                for k in range(stride):
+                    frame = a + 1 + k
+                    if 0 <= frame < n:
+                        flows[frame] = out[j, k]
+        return flows
+
     def _memflow_step(self, h: int, w: int):
         """Jitted single step: (params, pair [B,2,h,w,3], memory) ->
         (flow [B,h,w,2], memory')."""

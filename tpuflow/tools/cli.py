@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-overlap", type=int, default=0, help="[tpu] tile halo overlap in pixels (0 = reference hard paste)")
     p.add_argument("--data-parallel", type=int, default=1, help="[tpu] devices to shard the frame batch over")
     p.add_argument("--encoder", choices=["cnn", "twins"], default="cnn", help="[tpu] feature encoder backbone")
+    p.add_argument(
+        "--stride-mode", choices=["center", "interior"], default="center",
+        help="[tpu] 'center' = reference parity (one middle-frame flow per window); "
+             "'interior' = keep all interior-frame flows ((T-2)x throughput)",
+    )
     return p
 
 
@@ -91,6 +96,7 @@ def args_to_config(args: argparse.Namespace) -> PipelineConfig:
         batch_frames=args.batch_frames,
         tile_overlap=args.tile_overlap,
         data_parallel=args.data_parallel,
+        stride_mode=args.stride_mode,
     )
 
 

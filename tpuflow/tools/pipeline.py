@@ -197,6 +197,15 @@ class FlowPipeline:
                 save(flows[i], i)
                 if iterator:
                     iterator.update(1)
+        elif self.config.stride_mode == "interior" and not self.config.tile:
+            all_flows = self.engine.compute_flows_strided(
+                frames, window_batch=max(1, self.config.batch_frames)
+            )
+            for i in range(n):
+                flows[i] = all_flows[i]
+                save(flows[i], i)
+                if iterator:
+                    iterator.update(1)
         elif self.config.tile:
             for i in range(n):
                 flows[i] = self.engine.compute_flow_tiled(
