@@ -60,15 +60,12 @@ def build_corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarr
     x = corr.reshape(b * h * w, h2, w2)
     pyramid = [x.reshape(b * h * w, h2 * w2)]
     for _ in range(num_levels - 1):
-        x = jax.lax.reduce_window(
-            x,
-            jnp.asarray(0.0, x.dtype),
-            jax.lax.add,
-            window_dimensions=(1, 2, 2),
-            window_strides=(1, 2, 2),
-            padding="VALID",
-        ) / 4.0
-        pyramid.append(x.reshape(x.shape[0], x.shape[1] * x.shape[2]))
+        # Reshape-mean 2x2 pooling (== VALID reduce_window; reduce_window's
+        # grad is broken under jit for bf16 in jax 0.9).
+        n, lh, lw = x.shape
+        x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
+        x = x.reshape(n, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
+        pyramid.append(x.reshape(n, (lh // 2) * (lw // 2)))
     return pyramid
 
 
@@ -249,15 +246,10 @@ def _bilinear_gather_features(
 
 def _avg_pool_features(fmap: jnp.ndarray) -> jnp.ndarray:
     """2x2 average pool of [B, H, W, C] (VALID, matching the corr-pyramid
-    pooling)."""
-    return jax.lax.reduce_window(
-        fmap,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    ) / 4.0
+    pooling; reshape-mean — see build_corr_pyramid note)."""
+    b, h, w, c = fmap.shape
+    x = fmap[:, : (h // 2) * 2, : (w // 2) * 2]
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
 
 
 class OnTheFlyCorr:

@@ -181,6 +181,7 @@ class MemFlowNet(nn.Module):
     encoder: str = "cnn"
     corr_dtype: Any = jnp.bfloat16
     corr_impl: str = "auto"
+    scan_iters: bool = True   # False = Python unroll (needed for AD)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,13 +222,7 @@ class MemFlowNet(nn.Module):
             else flow_init.astype(jnp.float32)
         )
 
-        scanned = nn.scan(
-            _MemIteration,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=nn.broadcast,
-            length=self.decoder_depth,
-        )(
+        iter_kwargs = dict(
             hidden_dim=self.hidden_dim,
             corr_radius=self.corr_radius,
             corr_impl=type(corr).__name__,
@@ -236,12 +231,27 @@ class MemFlowNet(nn.Module):
             dtype=self.dtype,
             name="iteration",
         )
+        if self.scan_iters:
+            step = nn.scan(
+                _MemIteration,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,
+                length=self.decoder_depth,
+            )(**iter_kwargs)
+        else:
+            step = _MemIteration(**iter_kwargs)
         carry = _MemCarry(
             flow=flow,
             h=hidden,
             motion=jnp.zeros((b, h8, w8, 128), self.dtype),
         )
-        carry, _ = scanned(carry, (inp, _corr_state(corr), memory))
+        consts = (inp, _corr_state(corr), memory)
+        if self.scan_iters:
+            carry, _ = step(carry, consts)
+        else:
+            for _ in range(self.decoder_depth):
+                carry, _ = step(carry, consts)
         flow, hcur, motion = carry.flow, carry.h, carry.motion
         mask = MaskHead(dtype=self.dtype, name="mask_head")(hcur)
 

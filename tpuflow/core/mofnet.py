@@ -162,6 +162,10 @@ class MOFNet(nn.Module):
     encoder: str = "cnn"             # 'cnn' | 'twins'
     corr_dtype: Any = jnp.bfloat16   # cost-volume storage dtype (HBM saver)
     corr_impl: str = "auto"          # 'auto' | 'materialized' | 'direct'
+    scan_iters: bool = True          # lax.scan the refinement loop
+                                     # (False = Python unroll: needed for
+                                     # reverse-mode AD through the
+                                     # broadcast correlation constants)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -199,19 +203,23 @@ class MOFNet(nn.Module):
 
         # ---- iterative refinement (lax.scan over iterations: shared
         # weights, one compiled iteration body, buffers reused) ----
-        scanned = nn.scan(
-            _MOFIteration,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=nn.broadcast,  # loop-invariant: corr pyramids + context
-            length=self.decoder_depth,
-        )(
+        iter_kwargs = dict(
             hidden_dim=self.hidden_dim,
             corr_radius=self.corr_radius,
             corr_impl=type(corr_fwd).__name__,
             dtype=self.dtype,
             name="iteration",
         )
+        if self.scan_iters:
+            step = nn.scan(
+                _MOFIteration,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,  # loop-invariant: corr pyramids + context
+                length=self.decoder_depth,
+            )(**iter_kwargs)
+        else:
+            step = _MOFIteration(**iter_kwargs)
 
         carry = _MOFCarry(
             flow_fwd=jnp.zeros((b * n, h8, w8, 2), jnp.float32),
@@ -222,7 +230,11 @@ class MOFNet(nn.Module):
             motion_bwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
         )
         consts = (inp, _corr_state(corr_fwd), _corr_state(corr_bwd))
-        carry, _ = scanned(carry, consts)
+        if self.scan_iters:
+            carry, _ = step(carry, consts)
+        else:
+            for _ in range(self.decoder_depth):
+                carry, _ = step(carry, consts)
         flow_fwd, flow_bwd = carry.flow_fwd, carry.flow_bwd
 
         mask_head = MaskHead(dtype=self.dtype, name="mask_head")
