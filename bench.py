@@ -47,20 +47,30 @@ def main():
     H, W, T = 1080, 1920, 5
     N_FRAMES = 8
 
+    import sys
+
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
     cfg = ModelConfig(model="videoflow", architecture="mof", sequence_length=T)
     engine = FlowEngine(cfg)
+    log("initializing params (64x64 jitted init)")
     engine.load_model("__bench_random_init__")
+    log("params ready")
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (H, W, 3), dtype=np.uint8) for _ in range(N_FRAMES)]
 
-    # Warmup (compile + first paste).
+    log("warmup frame (compiles the 1280x1280 tile forward)")
     _ = engine.compute_flow_tiled(frames, 2, tile_batch=1)
+    log("warmup done; timing")
 
     iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
         flow = engine.compute_flow_tiled(frames, 2 + (i % 3), tile_batch=1)
+        log(f"frame {i + 1}/{iters}")
     dt = time.perf_counter() - t0
     assert np.isfinite(flow).all()
 

@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -146,10 +147,35 @@ class CorrPyramid:
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
-        b, h, w, _ = fmap1.shape
+        b, h, w, c = fmap1.shape
         h2, w2 = fmap2.shape[1], fmap2.shape[2]
-        corr = all_pairs_correlation(fmap1, fmap2)
-        return cls(build_corr_pyramid(corr, num_levels), (b, h, w), (h2, w2))
+        scale = 1.0 / float(np.sqrt(c))
+        store_dtype = fmap1.dtype
+
+        def build_one(args):
+            """Volume + pyramid for ONE batch element: bounds the f32
+            matmul transient to a single [HW, HW] plane (at tile sizes the
+            full-batch f32 volume alone would exceed HBM)."""
+            f1, f2 = args  # [H, W, C], [H2, W2, C]
+            corr = jnp.einsum(
+                "nc,mc->nm",
+                f1.reshape(h * w, c),
+                f2.reshape(h2 * w2, c),
+                preferred_element_type=jnp.float32,
+            )
+            corr = (corr * scale).astype(store_dtype)
+            x = corr.reshape(h * w, h2, w2)
+            levels = [corr]
+            for _ in range(num_levels - 1):
+                n, lh, lw = x.shape
+                x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
+                x = x.reshape(n, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
+                levels.append(x.reshape(n, -1))
+            return tuple(levels)
+
+        stacked = jax.lax.map(build_one, (fmap1, fmap2))
+        pyramid = [lvl.reshape(b * h * w, -1) for lvl in stacked]
+        return cls(pyramid, (b, h, w), (h2, w2))
 
     def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
         """Sample (2r+1)^2 windows around flow-displaced positions at every

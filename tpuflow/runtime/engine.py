@@ -123,14 +123,17 @@ class FlowEngine:
         return f"random-init (checkpoint not found: {path})"
 
     def init_params(self, h: int = 64, w: int = 64):
+        """Random init at tiny spatial dims (conv/attention params are
+        shape-independent); jitted so the init is one compiled program
+        instead of hundreds of eager dispatches."""
         rng = jax.random.PRNGKey(self.seed)
         if self.config.model == "memflow":
             pair = jnp.zeros((1, 2, h, w, 3), jnp.float32)
             mem = self.model.empty_memory(1, h, w)
-            return self.model.init(rng, pair, mem)
+            return jax.jit(self.model.init)(rng, pair, mem)
         t = max(3, self.config.sequence_length)
         frames = jnp.zeros((1, t, h, w, 3), jnp.float32)
-        return self.model.init(rng, frames)
+        return jax.jit(self.model.init)(rng, frames)
 
     def is_model_loaded(self) -> bool:
         return self._loaded
