@@ -214,12 +214,16 @@ class CorrPyramid:
             px = fx0.astype(jnp.int32) - r  # patch origin
             py = fy0.astype(jnp.int32) - r
 
-            # Patch coordinates, clamped; flat linear indices, one take.
+            # Patch coordinates, clamped; row-local indices gathered with
+            # take_along_axis — each query reads its OWN [lh*lw] row, and
+            # no global reshape(-1) (which forced a full-volume layout
+            # copy inside the refinement loop).
             xx = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)  # [N, side]
             yy = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)
-            base = (jnp.arange(n, dtype=jnp.int32) * (lh * lw))[:, None, None]
-            idx = base + yy[:, :, None] * lw + xx[:, None, :]  # [N, side, side]
-            patch = jnp.take(volume.reshape(-1), idx.reshape(n, side * side))
+            idx = yy[:, :, None] * lw + xx[:, None, :]  # [N, side, side]
+            patch = jnp.take_along_axis(
+                volume, idx.reshape(n, side * side), axis=1
+            )
             patch = patch.reshape(n, side, side).astype(jnp.float32)
 
             v00 = patch[:, :-1, :-1]
