@@ -7,7 +7,10 @@ Identifies which op bounds the bench number.
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +55,7 @@ def main():
     # --- feature encoder over all T frames ---
     enc = BasicEncoder(output_dim=256, dtype=jnp.bfloat16)
     frames = jnp.asarray(rng.random((T, S, S, 3), dtype=np.float32))
-    pe = enc.init(key, frames[:1])
+    pe = jax.jit(enc.init)(key, jnp.zeros((1, 64, 64, 3)))  # tiny jitted init
     f_enc = jax.jit(lambda p, x: enc.apply(p, x))
     print(f"fnet (T={T} frames): {timeit(f_enc, pe, frames):.4f}s")
 
@@ -89,7 +92,11 @@ def main():
     h = jnp.zeros((3, H8, W8, 128), jnp.bfloat16)
     inp = jnp.zeros((3, H8, W8, 128), jnp.bfloat16)
     extra = jnp.zeros((3, H8, W8, 128), jnp.bfloat16)
-    pu = upd.init(key, h, inp, corr_feat, flow, extra)
+    pu = jax.jit(upd.init)(
+        key,
+        h[:, :8, :8], inp[:, :8, :8], corr_feat[:, :8, :8],
+        flow[:, :8, :8], extra[:, :8, :8],
+    )  # tiny jitted init
 
     def do_update(pu, h, inp, corr_feat, flow, extra):
         a = upd.apply(pu, h, inp, corr_feat, flow, extra)
@@ -102,7 +109,7 @@ def main():
     # --- full forward ---
     model = MOFNet(dtype=jnp.bfloat16, corr_impl="materialized")
     windows = jnp.asarray(rng.random((1, T, S, S, 3), dtype=np.float32))
-    pm = jax.jit(model.init)(key, windows)
+    pm = jax.jit(model.init)(key, jnp.zeros((1, T, 64, 64, 3)))  # tiny init
 
     def fwd(pm, windows):
         f, _ = model.apply(pm, windows)

@@ -21,3 +21,33 @@ IvanPopov/video-flow-ml (a PyTorch/CUDA video optical-flow pipeline):
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy: importing tpuflow must not pull jax/cv2 until used).
+__all__ = [
+    "FlowEngine",
+    "FlowPipeline",
+    "PipelineConfig",
+    "ModelConfig",
+    "VideoFlowInference",
+    "MemFlowInference",
+]
+
+
+def __getattr__(name):
+    if name in ("PipelineConfig", "ModelConfig"):
+        from . import config
+
+        return getattr(config, name)
+    if name == "FlowEngine":
+        from .runtime.engine import FlowEngine
+
+        return FlowEngine
+    if name == "FlowPipeline":
+        from .tools.pipeline import FlowPipeline
+
+        return FlowPipeline
+    if name in ("VideoFlowInference", "MemFlowInference"):
+        from . import compat
+
+        return getattr(compat, name)
+    raise AttributeError(f"module 'tpuflow' has no attribute {name!r}")
