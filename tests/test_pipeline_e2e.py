@@ -170,6 +170,27 @@ def test_pipeline_memflow_stream(video, tmp_path):
     assert os.path.exists(os.path.join(cache_dir, "flow_frame_000004.npz"))
 
 
+def test_output_path_is_cache_dir(video, tmp_path):
+    """An output path that is itself a complete flow cache becomes the
+    cache source; the video lands next to it (flow_processor.py:806-820)."""
+    cache_dir = str(tmp_path / "existing_cache")
+    from tpuflow.pipeline.cache import FlowCacheManager
+
+    mgr = FlowCacheManager()
+    for i in range(4):
+        mgr.save_flow_to_cache(np.zeros((48, 64, 2), np.float32), cache_dir, i)
+
+    config = PipelineConfig(
+        input=video, output=cache_dir, frames=4, sequence_length=3,
+        no_autoplay=True, skip_lods=True,
+    )
+    pipe = FlowPipeline(config, engine=tiny_engine())
+    out_path = pipe.process_video()
+    assert out_path.endswith("existing_cache_taa_output.avi")
+    assert os.path.exists(out_path)
+    assert not pipe.engine.is_model_loaded()  # flows came from the cache
+
+
 def test_difference_overlay_colors():
     # Levels [0.1, 0.5, 1.0, 2.0, 4.0] -> green/yellow/orange/red/magenta
     # (flow_processor.py:518-533).  Probe pixels away from the legend band.

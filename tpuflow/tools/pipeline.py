@@ -256,7 +256,25 @@ class FlowPipeline:
             print("Warning: --flow-input requires --taa to be enabled. Enabling TAA mode.")
             taa = True
 
-        if os.path.isdir(output_path):
+        # If the given output path is itself a complete flow cache, use it
+        # as the cache and derive a fresh video path next to it
+        # (flow_processor.py:806-820).
+        output_is_cache = False
+        if (
+            c.use_flow_cache is None
+            and os.path.isdir(output_path)
+            and self.cache_manager.check_cache_exists(output_path, n)[0]
+        ):
+            print(f"Detected existing flow cache at output path: {output_path}")
+            cache_as_output = output_path
+            output_path = os.path.join(
+                os.path.dirname(output_path),
+                f"{os.path.basename(output_path)}_taa_output.avi",
+            )
+            print(f"Video will be saved to: {output_path}")
+            output_is_cache = True
+
+        if not output_is_cache and os.path.isdir(output_path):
             output_path = generate_output_filepath(
                 input_path,
                 output_path,
@@ -292,7 +310,12 @@ class FlowPipeline:
         # -- cache resolution (flow_processor.py:763-833) -------------------
         use_cached = False
         cached_format = None
-        if c.use_flow_cache is not None:
+        if output_is_cache:
+            cache_dir = cache_as_output
+            _, cached_format, _ = self.cache_manager.check_cache_exists(cache_dir, n)
+            use_cached = True
+            print(f"Using optical flow cache from: {cache_dir} (format: {cached_format})")
+        elif c.use_flow_cache is not None:
             cache_dir = c.use_flow_cache
             ok, cached_format, missing = self.cache_manager.check_cache_exists(cache_dir, n)
             if not ok:
