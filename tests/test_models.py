@@ -89,6 +89,19 @@ def test_on_the_fly_corr_matches_materialized():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+def test_lookup_rows_matches_lookup():
+    # The MXU-oriented row-band formulation must be numerically identical
+    # to the patch-take lookup, including border-crossing queries.
+    rng = np.random.default_rng(11)
+    f1 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    flow = rng.normal(0, 6, size=(2, 16, 24, 2)).astype(np.float32)
+    cp = CorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), 3)
+    a = np.asarray(cp.lookup_take(jnp.asarray(flow), 3))
+    b = np.asarray(cp.lookup(jnp.asarray(flow), 3))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_make_corr_auto_selection():
     f = jnp.zeros((1, 8, 8, 4))
     assert isinstance(make_corr(f, f, 2, "auto"), CorrPyramid)

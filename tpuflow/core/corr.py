@@ -177,9 +177,9 @@ class CorrPyramid:
         pyramid = [lvl.reshape(b * h * w, -1) for lvl in stacked]
         return cls(pyramid, (b, h, w), (h2, w2))
 
-    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup_take(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
         """Sample (2r+1)^2 windows around flow-displaced positions at every
-        pyramid level.
+        pyramid level (scalar patch-take formulation).
 
         flow: [B, H, W, 2] at feature resolution.
         Returns [B, H, W, L*(2r+1)^2] float32.
@@ -236,6 +236,76 @@ class CorrPyramid:
                 + v10 * (1 - wx) * wy
                 + v11 * wx * wy
             )  # [N, 2r+1, 2r+1]
+            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
+        return jnp.concatenate(out, axis=-1)
+
+
+    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """Default lookup: lookup_take reformulated for the TPU memory system: scalar gathers
+        on TPU run near one element per cycle, so the patch-take version
+        moves ~60M scattered elements per refinement iteration at scalar
+        speed.  Here each query instead gathers `side` CONTIGUOUS plane
+        rows (one sliced gather: hardware-friendly), and the within-patch
+        row remap + column selection become one-hot contractions on the
+        MXU.  Numerics identical to lookup() (same clamped patch
+        coordinates, same shared-fraction bilinear)."""
+        b, h, w, _ = flow.shape
+        r = radius
+        side = 2 * r + 2
+        n = b * h * w
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
+
+        jj = jnp.arange(side, dtype=jnp.int32)
+        out = []
+        for lvl, volume in enumerate(self.pyramid):
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            cx = base_x / (2.0**lvl)
+            cy = base_y / (2.0**lvl)
+            fx0 = jnp.floor(cx)
+            fy0 = jnp.floor(cy)
+            wx = (cx - fx0)[:, None, None]
+            wy = (cy - fy0)[:, None, None]
+            px = fx0.astype(jnp.int32) - r
+            py = fy0.astype(jnp.int32) - r
+
+            # Contiguous row-band gather: [N, band, lw] slices at a clamped
+            # per-query row origin (band shrinks at deep levels where the
+            # plane has fewer than `side` rows).
+            band = min(side, lh)
+            origin = jnp.clip(py, 0, lh - band)
+            vol3 = volume.reshape(n, lh, lw)
+            rows = jax.vmap(
+                lambda v, o: jax.lax.dynamic_slice(v, (o, 0), (band, lw))
+            )(vol3, origin)  # [N, band, lw]
+
+            # Row remap (edge-replicate clamp) relative to the band origin,
+            # as a one-hot contraction (MXU, not gather).
+            row_idx = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1) - origin[:, None]
+            row_sel = jax.nn.one_hot(row_idx, band, dtype=rows.dtype)  # [N, side, band]
+            rows = jnp.einsum(
+                "nsr,nrw->nsw", row_sel, rows, preferred_element_type=jnp.float32
+            )  # [N, side, lw] f32
+
+            # Column selection, also one-hot.
+            col_idx = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)  # [N, side]
+            col_sel = jax.nn.one_hot(col_idx, lw, dtype=volume.dtype)  # [N, side, lw]
+            patch = jnp.einsum(
+                "nsw,ncw->nsc", rows, col_sel, preferred_element_type=jnp.float32
+            )  # [N, side(rows), side(cols)]
+
+            v00 = patch[:, :-1, :-1]
+            v01 = patch[:, :-1, 1:]
+            v10 = patch[:, 1:, :-1]
+            v11 = patch[:, 1:, 1:]
+            sampled = (
+                v00 * (1 - wx) * (1 - wy)
+                + v01 * wx * (1 - wy)
+                + v10 * (1 - wx) * wy
+                + v11 * wx * wy
+            )
             out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
