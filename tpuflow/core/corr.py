@@ -271,15 +271,18 @@ class CorrPyramid:
             px = fx0.astype(jnp.int32) - r
             py = fy0.astype(jnp.int32) - r
 
-            # Contiguous row-band gather: [N, band, lw] slices at a clamped
-            # per-query row origin (band shrinks at deep levels where the
-            # plane has fewer than `side` rows).
+            # Contiguous row-band gather at a clamped per-query row origin
+            # (band shrinks at deep levels where the plane has fewer than
+            # `side` rows).  The band is a CONTIGUOUS span of the flat
+            # [N, lh*lw] row, so the slice happens in flat layout — a 3D
+            # [N, lh, lw] view would force a multi-GB padded-layout copy
+            # inside the refinement loop.
             band = min(side, lh)
             origin = jnp.clip(py, 0, lh - band)
-            vol3 = volume.reshape(n, lh, lw)
             rows = jax.vmap(
-                lambda v, o: jax.lax.dynamic_slice(v, (o, 0), (band, lw))
-            )(vol3, origin)  # [N, band, lw]
+                lambda v, o: jax.lax.dynamic_slice(v, (o,), (band * lw,))
+            )(volume, origin * lw)  # [N, band*lw]
+            rows = rows.reshape(n, band, lw)
 
             # Row remap (edge-replicate clamp) relative to the band origin,
             # as a one-hot contraction (MXU, not gather).

@@ -284,12 +284,6 @@ class FlowEngine:
             x = x / 255.0 if frames.dtype == jnp.uint8 else x
             x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
 
-            # Pair for frame i is (i-1, i); frame 0 pairs with itself
-            # (trailing-window front replication,
-            # memflow_processor.py:97-139).
-            prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
-            pairs = jnp.stack([prev, x], axis=1)  # [n, 2, ph, pw, 3]
-
             mem0 = init_memory(
                 1,
                 model.memory_capacity,
@@ -299,13 +293,25 @@ class FlowEngine:
             )
             flow0 = jnp.zeros((1, ph // 8, pw // 8, 2), jnp.float32)
 
-            def step(carry, pair):
+            # Pair for frame i is (i-1, i); frame 0 pairs with itself
+            # (trailing-window front replication,
+            # memflow_processor.py:97-139).  Frames are indexed inside the
+            # scan instead of materializing a [n, 2, ...] pair tensor
+            # (which would double the clip's device footprint).
+            def step(carry, i):
                 mem, prev_low = carry
+                prev = jax.lax.dynamic_index_in_dim(
+                    x, jnp.maximum(i - 1, 0), 0, keepdims=False
+                )
+                cur = jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+                pair = jnp.stack([prev, cur])[None]  # [1, 2, ph, pw, 3]
                 init = prev_low if warm_start else None
-                flow, mem, flow_low = model.apply(params, pair[None], mem, init)
+                flow, mem, flow_low = model.apply(params, pair, mem, init)
                 return (mem, flow_low), flow[0]
 
-            _, flows = jax.lax.scan(step, (mem0, flow0), pairs)
+            _, flows = jax.lax.scan(
+                step, (mem0, flow0), jnp.arange(n, dtype=jnp.int32)
+            )
             return flows[:, pt : pt + h, pl : pl + w]
 
         self._stream_cache[key] = scan_fn
