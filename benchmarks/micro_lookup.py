@@ -57,12 +57,12 @@ def main():
 
     cp = CorrPyramid(list(pyr), (B, H8, W8), (H8, W8))
 
-    lookup = jax.jit(lambda f: cp.lookup_take(f, R))
-    bench(lookup, flow, label="lookup patch-take")
-
-    if True:
-        lookup2 = jax.jit(lambda f: cp.lookup(f, R))
-        bench(lookup2, flow, label="lookup row-band (default)")
+    bench(jax.jit(lambda f: cp.lookup_span(f, R)), flow, label="lookup span (experimental)")
+    bench(jax.jit(lambda f: cp.lookup_rows(f, R)), flow, label="lookup row-band")
+    if os.environ.get("MICRO_TAKE"):
+        # The standalone patch-take program compiles pathologically slowly
+        # on the remote helper; opt-in only.
+        bench(jax.jit(lambda f: cp.lookup(f, R)), flow, label="lookup patch-take (default)")
 
 
 if __name__ == "__main__":

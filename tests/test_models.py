@@ -97,8 +97,10 @@ def test_lookup_rows_matches_lookup():
     f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
     flow = rng.normal(0, 6, size=(2, 16, 24, 2)).astype(np.float32)
     cp = CorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), 3)
-    a = np.asarray(cp.lookup_take(jnp.asarray(flow), 3))
-    b = np.asarray(cp.lookup(jnp.asarray(flow), 3))
+    a = np.asarray(cp.lookup(jnp.asarray(flow), 3))
+    b = np.asarray(cp.lookup_rows(jnp.asarray(flow), 3))
+    c = np.asarray(cp.lookup_span(jnp.asarray(flow), 3))
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 

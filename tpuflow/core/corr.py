@@ -177,9 +177,11 @@ class CorrPyramid:
         pyramid = [lvl.reshape(b * h * w, -1) for lvl in stacked]
         return cls(pyramid, (b, h, w), (h2, w2))
 
-    def lookup_take(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
-        """Sample (2r+1)^2 windows around flow-displaced positions at every
-        pyramid level (scalar patch-take formulation).
+    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """Default lookup: sample (2r+1)^2 windows around flow-displaced
+        positions at every pyramid level (patch-take formulation; the
+        measured-stable choice — see lookup_rows/lookup_span for the
+        alternatives and their measured rates).
 
         flow: [B, H, W, 2] at feature resolution.
         Returns [B, H, W, L*(2r+1)^2] float32.
@@ -240,8 +242,80 @@ class CorrPyramid:
         return jnp.concatenate(out, axis=-1)
 
 
-    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
-        """Default lookup: lookup_take reformulated for the TPU memory system: scalar gathers
+    def lookup_span(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """EXPERIMENTAL: per-(query, patch-row) SPAN gathers.
+
+        Crashed the v5e TPU worker via the remote-compile harness (nested
+        vmap dynamic_slice lowering); kept for re-evaluation on a direct
+        runtime.
+
+        Measured gather rates on v5e: scalar patch-take ~14 cycles/element,
+        long contiguous row-bands ~4.6 cycles/element but 4x the elements.
+        The window's columns are already CONTIGUOUS in the plane row, so
+        the minimal hardware-friendly access is one `span`-wide contiguous
+        slice per (query, patch row): side x span elements per query
+        (~12M/level-set vs 31M scalar / 123M row-band), at span rate.
+        Border clamping is exact: row starts clamp per row, and a small
+        one-hot column remap (MXU) restores per-element column clamps.
+        Numerics identical to lookup_take (verified in tests)."""
+        b, h, w, _ = flow.shape
+        r = radius
+        side = 2 * r + 2
+        n = b * h * w
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
+
+        jj = jnp.arange(side, dtype=jnp.int32)
+        out = []
+        for lvl, volume in enumerate(self.pyramid):
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            span = min(16, lw)  # lane-aligned-ish contiguous slice width
+            cx = base_x / (2.0**lvl)
+            cy = base_y / (2.0**lvl)
+            fx0 = jnp.floor(cx)
+            fy0 = jnp.floor(cy)
+            wx = (cx - fx0)[:, None, None]
+            wy = (cy - fy0)[:, None, None]
+            px = fx0.astype(jnp.int32) - r
+            py = fy0.astype(jnp.int32) - r
+
+            # One contiguous span per (query, patch row), exact row clamp
+            # folded into the start offset.
+            col0 = jnp.clip(px, 0, lw - span)  # [N]
+            row_y = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)  # [N, side]
+            starts = row_y * lw + col0[:, None]  # [N, side] flat offsets
+
+            spans = jax.vmap(
+                lambda v, ss: jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(v, (s,), (span,))
+                )(ss)
+            )(volume, starts)  # [N, side, span]
+
+            # Column remap (per-element clamp relative to the span start)
+            # as a one-hot contraction on the MXU.
+            col_rel = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1) - col0[:, None]
+            col_sel = jax.nn.one_hot(col_rel, span, dtype=spans.dtype)  # [N, side, span]
+            patch = jnp.einsum(
+                "nrs,ncs->nrc", spans, col_sel, preferred_element_type=jnp.float32
+            )  # [N, side(rows), side(cols)]
+
+            v00 = patch[:, :-1, :-1]
+            v01 = patch[:, :-1, 1:]
+            v10 = patch[:, 1:, :-1]
+            v11 = patch[:, 1:, 1:]
+            sampled = (
+                v00 * (1 - wx) * (1 - wy)
+                + v01 * wx * (1 - wy)
+                + v10 * (1 - wx) * wy
+                + v11 * wx * wy
+            )
+            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
+        return jnp.concatenate(out, axis=-1)
+
+    def lookup_rows(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """Row-band variant: lookup_take reformulated for the TPU memory system: scalar gathers
         on TPU run near one element per cycle, so the patch-take version
         moves ~60M scattered elements per refinement iteration at scalar
         speed.  Here each query instead gathers `side` CONTIGUOUS plane
