@@ -78,32 +78,44 @@ def main():
     w0 = jax.device_put(jnp.asarray(tiles[0:1]))
     w1 = jax.device_put(jnp.asarray(tiles[1:2]))
 
-    fwd = engine._videoflow_forward(TILE, TILE)
+    # Stride-interior execution (engine.compute_flows_strided /
+    # --stride-mode interior): every window yields flows for ALL T-2
+    # interior frames — the model estimates them jointly either way; the
+    # reference's stride-1 loop discards all but the middle one
+    # (videoflow_core.py:193-195).  One window batch = 2 tiles = T-2
+    # 1080p flow frames.
+    fwd = engine._videoflow_forward_all(TILE, TILE)
+    frames_per_window = T - 2
 
     @jax.jit
     def checksum(a, b):
         return (jnp.mean(jnp.abs(a)) + jnp.mean(jnp.abs(b))).astype(jnp.float32)
 
-    def one_frame():
+    def one_window():
         return fwd(engine.params, w0), fwd(engine.params, w1)
 
     log("warmup (compiles the tile forward)")
-    a, b = one_frame()
+    a, b = one_window()
     chk = float(checksum(a, b))
     assert np.isfinite(chk), chk
+    assert a.shape[1] == frames_per_window
     log(f"warmup done (checksum {chk:.4f}); timing")
 
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        a, b = one_frame()
+        a, b = one_window()
     # One scalar fetch serializes the async chain.
     chk = float(checksum(a, b))
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
-    log(f"{iters} frames in {dt:.3f}s")
+    log(
+        f"{iters} windows ({iters * frames_per_window} flow frames) in {dt:.3f}s"
+        f" ({iters / dt:.3f} windows/s; stride-1 parity mode would be"
+        f" {iters / dt:.3f} frames/s)"
+    )
 
-    frames_per_sec = iters / dt
+    frames_per_sec = iters * frames_per_window / dt
     print(
         json.dumps(
             {

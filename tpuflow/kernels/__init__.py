@@ -19,8 +19,39 @@ Every gather-shaped op above was layout-engineered for Mosaic/XLA tiling
 index planes kept separate) after HBM-inflation and in-loop layout-copy
 pathologies were observed and fixed — see tpuflow/core/corr.py.
 
-A hand-written Pallas lookup kernel (per-query-block patch DMA via
-PrefetchScalarGridSpec with double buffering) is the next step if
-profiling shows the XLA gather still bounds the refinement loop; the
-benchmark harness for that decision is benchmarks/profile_tile.py.
+## Measured on v5e (1280x1280 tile window, MOF seq=5, bf16)
+
+Ablation (benchmarks/ablate_tile.py):
+  full forward, 12 iterations ............ 14.2s  (row-band lookup)
+                                           10.9s  (patch-take lookup)
+  decoder_depth=1 ........................  0.95s
+  12 iterations, lookup stubbed ..........  0.25s   <- everything else
+  => the correlation lookup is ~99% of runtime.
+
+Raw gather rate (take_along_axis [76800,100] from [76800,25600]):
+  ~103 ms = 75M elements/s (~12.5 cycles/element), identical for bf16
+  and f32 operands.  Every level gathers N*(2r+2)^2 = 7.7M elements, so
+  8 gathers/iteration x 12 iterations reproduces the full-model time
+  exactly — XLA's TPU gather is the hard floor for this formulation.
+
+Variants already tried (all numerics-equal, tests enforce):
+  lookup       (patch-take, default) 31M scalars/iter @ 14 cyc/elem
+  lookup_rows  (row-band + one-hot)  123M span elems  @ 4.6 cyc/elem — net slower
+  lookup_span  (16-wide spans)       12M span elems — its nested-vmap
+               dynamic_slice lowering CRASHED the v5e worker under the
+               remote-compile harness; quarantined.
+
+## Round-2 plan (in priority order)
+
+1. Pallas lookup kernel: grid over query blocks; scalar-prefetch the
+   per-query patch origins; per-query strided (2r+2)x(2r+2) DMA
+   HBM->VMEM with double buffering; bilinear combine on the VPU.
+   Expected ~0.2-0.5 us/query => ~30-60ms/iteration-direction.
+2. Block-dense fallback: per 8x8 query block, slice one clamped
+   ~56x56 region (400 large slices instead of 76800 small gathers),
+   then per-query one-hot row/col selection on the MXU.  ~4x estimated;
+   deviates only for >2x-block-size intra-block flow divergence.
+3. On-the-fly blockwise correlation in Pallas (never materialize the
+   volume): MXU matmul per (query block, region) — also unlocks
+   full-frame 4K.
 """
