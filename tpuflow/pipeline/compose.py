@@ -150,7 +150,9 @@ class VideoComposer:
                 cv2.putText(labeled, line, (8, y), _FONT, font_scale, (0, 0, 0), thickness + 2, cv2.LINE_AA)
                 cv2.putText(labeled, line, (8, y), _FONT, font_scale, (255, 255, 255), thickness, cv2.LINE_AA)
 
-            if y0 + h <= canvas_h and x0 + w <= canvas_w:
+            # Guard both ends: a too-narrow target aspect makes the grid
+            # taller than the canvas (negative offsets).
+            if 0 <= y0 and y0 + h <= canvas_h and 0 <= x0 and x0 + w <= canvas_w:
                 canvas[y0 : y0 + h, x0 : x0 + w] = labeled
 
         return canvas
