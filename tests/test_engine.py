@@ -164,6 +164,17 @@ def test_engine_memflow_step_and_stream(frames):
     assert np.isfinite(flows).all()
 
 
+def test_engine_memflow_tiled_is_full_frame(frames):
+    # MemFlow tile mode = full-frame parity path
+    # (memflow_processor.py:183-245 fakes a single tile).
+    cfg = tiny_cfg(model="memflow", sequence_length=3)
+    eng = FlowEngine(cfg)
+    eng.load_model()
+    a = eng.compute_flow_tiled(frames, 3, tile_size=16)
+    b = eng.compute_flow(frames, 3)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_engine_memflow_warm_start(frames):
     cfg = tiny_cfg(model="memflow", sequence_length=3)
     eng = FlowEngine(cfg)

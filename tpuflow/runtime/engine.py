@@ -383,6 +383,10 @@ class FlowEngine:
         SURVEY §7.4).  overlap=0 reproduces the hard paste."""
         if not self._loaded:
             raise RuntimeError("Model not loaded. Call load_model() first.")
+        if self.config.model == "memflow":
+            # MemFlow's "tiled" path is full-frame for interface parity
+            # (memflow_processor.py:183-245: fake single-tile grid).
+            return self.compute_flow(frames, frame_idx)
         h, w = frames[0].shape[:2]
         if h <= tile_size and w <= tile_size:
             return self.compute_flow(frames, frame_idx)
