@@ -101,7 +101,17 @@ class FlowPipeline:
     def __init__(self, config: PipelineConfig, engine: Optional[FlowEngine] = None):
         self.config = config
         self.device = DeviceManager.get_device(config.device)
-        self.engine = engine or FlowEngine(config.model_config())
+        mesh = None
+        if engine is None and config.data_parallel > 1:
+            import jax
+
+            from ..runtime.sharding import make_mesh
+
+            n = min(config.data_parallel, len(jax.devices()))
+            if n > 1:
+                mesh = make_mesh(n)
+                print(f"[Parallel] sharding window batches over {n} devices")
+        self.engine = engine or FlowEngine(config.model_config(), mesh=mesh)
         self.cache_manager = FlowCacheManager()
         self.composer = VideoComposer()
         self.model_label = (
