@@ -76,6 +76,41 @@ def test_unmatched_keys_reported():
     assert report["unmatched"][0][0] == "ghost.weight"
 
 
+def test_describe_state_dict():
+    from tpuflow.runtime.convert import describe_state_dict
+
+    sd = {
+        "fnet.conv1.weight": np.zeros((64, 3, 7, 7), np.float32),
+        "fnet.conv1.bias": np.zeros(64, np.float32),
+        "update.gru.weight": np.zeros((128, 256), np.float32),
+    }
+    report = describe_state_dict(sd)
+    assert "[fnet]" in report and "[update]" in report
+    assert "(64, 3, 7, 7)" in report
+    assert "TOTAL" in report
+
+
+def test_suggest_mapping_by_shape_and_name():
+    from tpuflow.runtime.convert import suggest_mapping
+
+    params = {
+        "encoder": {"conv1": {"kernel": np.zeros((7, 7, 3, 64), np.float32),
+                              "bias": np.zeros(64, np.float32)}},
+        "head": {"dense": {"kernel": np.zeros((256, 128), np.float32)}},
+    }
+    sd = {
+        "encoder.conv1.weight": np.zeros((64, 3, 7, 7), np.float32),
+        "encoder.conv1.bias": np.zeros(64, np.float32),
+        "head.dense.weight": np.zeros((128, 256), np.float32),
+        "orphan.weight": np.zeros((5, 5), np.float32),
+    }
+    mapping = suggest_mapping(sd, params)
+    assert mapping["encoder.conv1.weight"] == "encoder/conv1/kernel"
+    assert mapping["encoder.conv1.bias"] == "encoder/conv1/bias"
+    assert mapping["head.dense.weight"] == "head/dense/kernel"
+    assert mapping["orphan.weight"] is None
+
+
 def test_module_prefix_stripping(tmp_path):
     torch = pytest.importorskip("torch")
     from tpuflow.runtime.convert import load_torch_state_dict

@@ -164,6 +164,62 @@ def map_state_dict_to_params(
     return unflatten_params(new_flat), report
 
 
+def describe_state_dict(state_dict: Dict[str, np.ndarray], max_rows: int = 0) -> str:
+    """Human-readable shape report of a torch state dict, grouped by the
+    first name component — the converter doubles as an architecture-spec
+    extractor for the checkpoint-only upstream nets (SURVEY §7.3 item 1)."""
+    groups: Dict[str, list] = {}
+    for k, v in state_dict.items():
+        groups.setdefault(k.split(".")[0], []).append((k, tuple(v.shape)))
+    lines = []
+    total = 0
+    for g in sorted(groups):
+        n_params = sum(int(np.prod(s)) for _, s in groups[g])
+        total += n_params
+        lines.append(f"[{g}] {len(groups[g])} tensors, {n_params / 1e6:.2f}M params")
+        rows = groups[g] if not max_rows else groups[g][:max_rows]
+        for k, s in rows:
+            lines.append(f"  {k:<60} {s}")
+    lines.append(f"TOTAL: {total / 1e6:.2f}M params, {len(state_dict)} tensors")
+    return "\n".join(lines)
+
+
+def suggest_mapping(
+    state_dict: Dict[str, np.ndarray], params
+) -> Dict[str, Optional[str]]:
+    """Greedy shape-based mapping proposal: torch key -> flax path.
+
+    Each torch tensor is matched to an unclaimed flax leaf whose
+    (layout-converted) shape matches, preferring candidates that share
+    name tokens.  A starting point for hand-finishing the exact table
+    against a live checkpoint — NOT used for automatic loading."""
+    flat = flatten_params(params)
+    claimed = set()
+    out: Dict[str, Optional[str]] = {}
+
+    def tokens(s: str) -> set:
+        return set(s.replace(".", "/").replace("_", "/").lower().split("/"))
+
+    for tkey, tval in state_dict.items():
+        shapes = {tuple(tval.shape)}
+        if tval.ndim == 4:
+            shapes.add(torch_conv_to_flax(tval).shape)
+        if tval.ndim == 2:
+            shapes.add(tuple(reversed(tval.shape)))
+        candidates = [
+            fk for fk, fv in flat.items()
+            if fk not in claimed and tuple(fv.shape) in shapes
+        ]
+        if not candidates:
+            out[tkey] = None
+            continue
+        tk = tokens(tkey)
+        best = max(candidates, key=lambda fk: len(tk & tokens(fk)))
+        claimed.add(best)
+        out[tkey] = best
+    return out
+
+
 def load_torch_checkpoint_as_params(path: str, engine) -> Dict:
     """Engine hook: torch .pth -> engine's param tree (best-effort name
     mapping; unmatched leaves keep their init)."""
