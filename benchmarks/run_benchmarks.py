@@ -107,14 +107,32 @@ def bench_tile_1080p_with_cache(n_frames=4):
 
 
 def bench_memflow_streaming(n_frames=300, h=432, w=768):
+    """One compiled lax.scan over the whole clip with carried memory.
+    Device-resident timing: flows reduce to a checksum on device (this
+    dev harness's device->host path is ~0.1 MB/s and would otherwise
+    dominate)."""
+    import jax
+    import jax.numpy as jnp
+
     eng = _engine("memflow", seq=3)
-    frames = np.stack(_frames(n_frames, h, w))
-    eng.stream_flows(frames[:8])  # compile a small scan first? shapes differ; compile full:
+    frames = jax.device_put(jnp.asarray(np.stack(_frames(n_frames, h, w))))
+    scan_fn = eng._memflow_scan(n_frames, h, w, warm_start=False)
+    chk = jax.jit(lambda f: jnp.mean(jnp.abs(f)).astype(jnp.float32))
+
     t0 = time.perf_counter()
-    flows = eng.stream_flows(frames)
+    flows = scan_fn(eng.params, frames)
+    c = float(chk(flows))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(c)
+
+    t0 = time.perf_counter()
+    flows = scan_fn(eng.params, frames)
+    c = float(chk(flows))
     dt = time.perf_counter() - t0
-    assert flows.shape[0] == n_frames
-    return _emit(f"memflow_streaming_{h}p", n_frames, dt)
+    assert np.isfinite(c)
+    return _emit(
+        f"memflow_streaming_{h}p", n_frames, dt, {"compile_s": round(compile_s, 1)}
+    )
 
 
 def bench_full_pipeline_1080p(n_frames=4):
