@@ -17,22 +17,6 @@ from tpuflow.tools.correction import (
 )
 
 
-@pytest.fixture
-def textured(rng):
-    """A strongly textured image so correlation peaks are sharp."""
-    img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
-    import numpy as _np
-
-    # Smooth a bit so bilinear structures exist.
-    k = _np.ones((3, 3)) / 9
-    out = img.astype(_np.float32)
-    for c in range(3):
-        from scipy import signal  # scipy is available transitively? guard:
-
-        pass
-    return img
-
-
 def _shift_image(img, dx, dy):
     """Integer roll (content moves by +dx,+dy)."""
     return np.roll(np.roll(img, dy, axis=0), dx, axis=1)
