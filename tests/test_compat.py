@@ -23,7 +23,7 @@ def frames():
 
 
 def test_videoflow_inference_api(frames):
-    inf = VideoFlowInference(sequence_length=3, engine=tiny_engine())
+    inf = VideoFlowInference(sequence_length=3, engine=tiny_engine(), allow_random_init=True)
     assert not inf.is_model_loaded()
     inf.load_model()
     assert inf.is_model_loaded()
@@ -42,7 +42,7 @@ def test_videoflow_inference_api(frames):
 
 
 def test_prepare_frame_sequence_contract(frames):
-    inf = VideoFlowInference(sequence_length=3, engine=tiny_engine())
+    inf = VideoFlowInference(sequence_length=3, engine=tiny_engine(), allow_random_init=True)
     batch = inf.prepare_frame_sequence(frames, 2)
     assert batch.shape == (1, 3, 3, 32, 40)  # [1, T, 3, H, W]
     assert batch.dtype == np.float32
@@ -65,7 +65,7 @@ def test_tile_grid_and_validation(frames):
 
 
 def test_tiled_dispatch(frames):
-    inf = VideoFlowInference(sequence_length=3, tile_mode=False, engine=tiny_engine())
+    inf = VideoFlowInference(sequence_length=3, tile_mode=False, engine=tiny_engine(), allow_random_init=True)
     inf.load_model()
     a = inf.compute_optical_flow_tiled(frames, 2)
     inf.set_tile_mode(True)
@@ -75,7 +75,7 @@ def test_tiled_dispatch(frames):
 
 
 def test_memflow_inference_api(frames):
-    inf = MemFlowInference(sequence_length=3, engine=tiny_engine("memflow"))
+    inf = MemFlowInference(sequence_length=3, engine=tiny_engine("memflow"), allow_random_init=True)
     inf.load_model()
     flow = inf.compute_optical_flow(frames, 3)
     assert flow.shape == (32, 40, 2)

@@ -64,6 +64,64 @@ def test_state_dict_roundtrip_through_real_model(rng):
         np.testing.assert_allclose(rec_flat[k], perturbed[k], err_msg=k)
 
 
+def test_scope_free_state_dict_maps_into_init_tree(rng):
+    """A real torch state dict has no 'params.' scope; mapping into a
+    model.init() tree (rooted at 'params/') must still match (the round-1
+    silent-zero-match bug: ADVICE.md high)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.core.mofnet import MOFNet
+    from tpuflow.runtime.convert import params_to_torch_style
+
+    model = MOFNet(
+        corr_levels=2, corr_radius=2, decoder_depth=1,
+        feature_dim=32, hidden_dim=16, context_dim=16,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32, 3)))
+    flat = flatten_params(params)
+    assert all(k.startswith("params/") for k in flat)
+
+    torch_style = params_to_torch_style(params)
+    # Strip the scope like a real checkpoint would.
+    scope_free = {k[len("params."):]: v + 1.0 for k, v in torch_style.items()}
+    recovered, report = map_state_dict_to_params(scope_free, params)
+    assert report["matched"] == report["total_torch"], report["unmatched"][:5]
+    rec_flat = flatten_params(recovered)
+    for k in flat:
+        np.testing.assert_allclose(rec_flat[k], flat[k] + 1.0, err_msg=k)
+
+
+def test_low_match_rate_hard_fails(tmp_path):
+    """load_torch_checkpoint_as_params refuses to 'load' a checkpoint that
+    mostly fails to map (ADVICE.md: no silent random-weight inference)."""
+    torch = pytest.importorskip("torch")
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.convert import load_torch_checkpoint_as_params
+    from tpuflow.runtime.engine import FlowEngine
+
+    path = str(tmp_path / "bogus.pth")
+    torch.save({"nothing.weight": torch.ones(3, 3)}, path)
+    cfg = ModelConfig(sequence_length=3)
+    for k, v in dict(decoder_depth=1, corr_levels=2, corr_radius=2,
+                     feature_dim=32, hidden_dim=16, context_dim=16).items():
+        object.__setattr__(cfg, k, v)
+    engine = FlowEngine(cfg)
+    with pytest.raises(ValueError, match="matched only"):
+        load_torch_checkpoint_as_params(path, engine)
+
+
+def test_missing_checkpoint_raises(tmp_path):
+    """Reference parity: missing checkpoint is a hard error
+    (videoflow_core.py:97-98), not silent random init."""
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
+
+    engine = FlowEngine(ModelConfig(sequence_length=3))
+    with pytest.raises(FileNotFoundError):
+        engine.load_model(str(tmp_path / "nope.pth"))
+
+
 def test_unmatched_keys_reported():
     params = {"layer": {"kernel": np.zeros((3, 3, 4, 8), np.float32)}}
     sd = {

@@ -105,7 +105,7 @@ def test_paste_hard_matches_reference_semantics():
 # ---------------------------------------------------------------------------
 def test_engine_videoflow_single_and_batch(frames):
     eng = FlowEngine(tiny_cfg())
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     flow = eng.compute_flow(frames, 3)
     assert flow.shape == (40, 56, 2)
     assert np.isfinite(flow).all()
@@ -119,7 +119,7 @@ def test_engine_edge_frames(frames):
     # First/last frames use replicated windows — must not crash, and the
     # first frame of a static camera has near-duplicate inputs.
     eng = FlowEngine(tiny_cfg())
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     f0 = eng.compute_flow(frames, 0)
     flast = eng.compute_flow(frames, len(frames) - 1)
     assert np.isfinite(f0).all() and np.isfinite(flast).all()
@@ -130,14 +130,14 @@ def test_engine_odd_shape_padding():
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (37, 51, 3), dtype=np.uint8) for _ in range(5)]
     eng = FlowEngine(tiny_cfg(sequence_length=3))
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     flow = eng.compute_flow(frames, 2)
     assert flow.shape == (37, 51, 2)
 
 
 def test_engine_tiled(frames):
     eng = FlowEngine(tiny_cfg(sequence_length=3))
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     flow = eng.compute_flow_tiled(frames, 3, tile_size=32, tile_batch=2)
     assert flow.shape == (40, 56, 2)
     assert np.isfinite(flow).all()
@@ -145,7 +145,7 @@ def test_engine_tiled(frames):
 
 def test_engine_tiled_with_overlap(frames):
     eng = FlowEngine(tiny_cfg(sequence_length=3))
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     flow = eng.compute_flow_tiled(frames, 3, tile_size=32, overlap=8, tile_batch=2)
     assert flow.shape == (40, 56, 2)
     assert np.isfinite(flow).all()
@@ -154,7 +154,7 @@ def test_engine_tiled_with_overlap(frames):
 def test_engine_memflow_step_and_stream(frames):
     cfg = tiny_cfg(model="memflow", sequence_length=3)
     eng = FlowEngine(cfg)
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
 
     flow = eng.compute_flow(frames, 3)
     assert flow.shape == (40, 56, 2)
@@ -169,7 +169,7 @@ def test_engine_memflow_tiled_is_full_frame(frames):
     # (memflow_processor.py:183-245 fakes a single tile).
     cfg = tiny_cfg(model="memflow", sequence_length=3)
     eng = FlowEngine(cfg)
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     a = eng.compute_flow_tiled(frames, 3, tile_size=16)
     b = eng.compute_flow(frames, 3)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
@@ -178,7 +178,7 @@ def test_engine_memflow_tiled_is_full_frame(frames):
 def test_engine_memflow_warm_start(frames):
     cfg = tiny_cfg(model="memflow", sequence_length=3)
     eng = FlowEngine(cfg)
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     flows = eng.stream_flows(frames[:4], warm_start=True)
     assert flows.shape == (4, 40, 56, 2)
 

@@ -81,8 +81,12 @@ def test_epe_vs_golden_cache():
         sequence_length=params["sequence_length"],
     )
     engine = FlowEngine(cfg)
-    loaded = engine.load_model()
-    weights_available = not loaded.startswith("random-init")
+    try:
+        engine.load_model()
+        weights_available = True
+    except FileNotFoundError:
+        engine.load_model(allow_random_init=True)
+        weights_available = False
 
     extractor = FrameExtractor(GOLDEN_VIDEO, fast_mode=params["fast"])
     frames, _, _, _, _ = extractor.extract_frames(

@@ -104,9 +104,57 @@ def test_lookup_rows_matches_lookup():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_dense_lookup_matches_lookup():
+    # The gather-free one-hot-matmul lookup must be numerically identical
+    # to the patch-take lookup (same clamps, same f32 bilinear), including
+    # border-crossing queries and non-square / odd-dim target planes.
+    from tpuflow.core.corr import DenseCorrPyramid
+
+    rng = np.random.default_rng(13)
+    f1 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    flow = rng.normal(0, 6, size=(2, 16, 24, 2)).astype(np.float32)
+    cp = CorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), 3)
+    dp = DenseCorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), 3)
+    for r in (3, 4):
+        a = np.asarray(cp.lookup(jnp.asarray(flow), r))
+        b = np.asarray(dp.lookup(jnp.asarray(flow), r))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_lookup_matches_lookup_bf16():
+    # bf16 volume storage (the TPU configuration): one-hot selection is
+    # exact in bf16, so dense == gather bit-for-bit.
+    from tpuflow.core.corr import DenseCorrPyramid
+
+    rng = np.random.default_rng(17)
+    f1 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
+    flow = jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32)
+    cp = CorrPyramid.build(f1, f2, 3)
+    dp = DenseCorrPyramid.build(f1, f2, 3)
+    a = np.asarray(cp.lookup(flow, 4))
+    b = np.asarray(dp.lookup(flow, 4))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_choose_group_layouts():
+    from tpuflow.core.corr import choose_group
+
+    # 160-wide plane rows: grouping must reach a low-padding layout.
+    g = choose_group(160, 160, jnp.bfloat16)
+    nh, gw = -(-160 // g), g * 160
+    padded = -(-nh // 16) * 16 * (-(-gw // 128) * 128)
+    assert padded <= 160 * 160 * 1.25
+    assert choose_group(1, 128, jnp.float32) >= 1  # degenerate plane
+
+
 def test_make_corr_auto_selection():
+    from tpuflow.core.corr import DenseCorrPyramid
+
     f = jnp.zeros((1, 8, 8, 4))
-    assert isinstance(make_corr(f, f, 2, "auto"), CorrPyramid)
+    assert isinstance(make_corr(f, f, 2, "auto"), DenseCorrPyramid)
+    assert isinstance(make_corr(f, f, 2, "gather"), CorrPyramid)
     big = jnp.zeros((1, 176, 176, 4))
     assert isinstance(make_corr(big, big, 2, "auto"), OnTheFlyCorr)
 

@@ -20,11 +20,11 @@ def test_pipeline_creates_mesh_engine(tmp_path):
         out.write(np.full((48, 64, 3), i * 30, np.uint8))
     out.release()
 
-    config = PipelineConfig(input=path, frames=6, data_parallel=8)
+    config = PipelineConfig(input=path, frames=6, data_parallel=8, allow_random_init=True)
     pipe = FlowPipeline(config)
     assert pipe.engine.mesh is not None
     assert pipe.engine.mesh.shape["data"] == 8
 
     # data_parallel=1 keeps a single-device engine.
-    pipe1 = FlowPipeline(PipelineConfig(input=path, frames=6))
+    pipe1 = FlowPipeline(PipelineConfig(input=path, frames=6, allow_random_init=True))
     assert pipe1.engine.mesh is None

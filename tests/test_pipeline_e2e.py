@@ -69,7 +69,7 @@ def test_pipeline_end_to_end(video, tmp_path):
     os.makedirs(out_dir)
     config = PipelineConfig(
         input=video, output=out_dir, frames=6, sequence_length=3,
-        no_autoplay=True, skip_lods=True, batch_frames=2,
+        no_autoplay=True, skip_lods=True, allow_random_init=True, batch_frames=2,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     out_path = pipe.process_video()
@@ -95,7 +95,7 @@ def test_pipeline_cache_reuse(video, tmp_path):
     os.makedirs(out_dir)
     config = PipelineConfig(
         input=video, output=out_dir, frames=4, sequence_length=3,
-        no_autoplay=True, skip_lods=True,
+        no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     pipe.process_video()
@@ -117,7 +117,7 @@ def test_pipeline_taa_mode(video, tmp_path):
     os.makedirs(out_dir)
     config = PipelineConfig(
         input=video, output=out_dir, frames=4, sequence_length=3,
-        taa=True, no_autoplay=True, skip_lods=True,
+        taa=True, no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     out_path = pipe.process_video()
@@ -133,7 +133,7 @@ def test_pipeline_flow_only_mode(video, tmp_path):
     os.makedirs(out_dir)
     config = PipelineConfig(
         input=video, output=out_dir, frames=4, sequence_length=3,
-        flow_only=True, no_autoplay=True, skip_lods=True,
+        flow_only=True, no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     out_path = pipe.process_video()
@@ -148,7 +148,7 @@ def test_pipeline_use_flow_cache_error(video, tmp_path):
     config = PipelineConfig(
         input=video, output=str(tmp_path), frames=4,
         use_flow_cache=str(tmp_path / "nonexistent"),
-        no_autoplay=True, skip_lods=True,
+        no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     with pytest.raises(SystemExit):
@@ -160,7 +160,7 @@ def test_pipeline_memflow_stream(video, tmp_path):
     os.makedirs(out_dir)
     config = PipelineConfig(
         input=video, output=out_dir, frames=5, sequence_length=3,
-        model="memflow", no_autoplay=True, skip_lods=True,
+        model="memflow", no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine(model="memflow"))
     out_path = pipe.process_video()
@@ -182,7 +182,7 @@ def test_output_path_is_cache_dir(video, tmp_path):
 
     config = PipelineConfig(
         input=video, output=cache_dir, frames=4, sequence_length=3,
-        no_autoplay=True, skip_lods=True,
+        no_autoplay=True, skip_lods=True, allow_random_init=True,
     )
     pipe = FlowPipeline(config, engine=tiny_engine())
     out_path = pipe.process_video()

@@ -45,11 +45,11 @@ def test_engine_dp_matches_single_device():
     frames = [rng.integers(0, 256, (40, 48, 3), dtype=np.uint8) for _ in range(10)]
 
     single = FlowEngine(tiny_cfg())
-    single.load_model()
+    single.load_model(allow_random_init=True)
 
     mesh = make_mesh(8)
     sharded = FlowEngine(tiny_cfg(), params=single.params, mesh=mesh)
-    sharded.load_model()
+    sharded.load_model(allow_random_init=True)
 
     idxs = list(range(10))  # not divisible by 8 -> exercises batch padding
     a = single.compute_flow_batch(frames, idxs)

@@ -120,7 +120,7 @@ def test_strided_engine_covers_all_frames():
                      feature_dim=32, hidden_dim=16, context_dim=16).items():
         object.__setattr__(cfg, k, v)
     eng = FlowEngine(cfg)
-    eng.load_model()
+    eng.load_model(allow_random_init=True)
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (32, 40, 3), dtype=np.uint8) for _ in range(7)]
     flows = eng.compute_flows_strided(frames, window_batch=2)

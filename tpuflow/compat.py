@@ -48,6 +48,7 @@ class _BaseInference:
         stage="sintel",
         model_path=None,
         engine: Optional[FlowEngine] = None,
+        allow_random_init=False,
     ):
         self.device = device
         self.fast_mode = fast_mode
@@ -58,6 +59,7 @@ class _BaseInference:
         self.variant = variant
         self.stage = stage
         self.model_path = model_path
+        self.allow_random_init = allow_random_init
 
         cfg = ModelConfig(
             model=self.model_kind,
@@ -74,7 +76,9 @@ class _BaseInference:
 
     # -- lifecycle ---------------------------------------------------------
     def load_model(self):
-        path = self.engine.load_model(self.model_path)
+        path = self.engine.load_model(
+            self.model_path, allow_random_init=self.allow_random_init
+        )
         print(f"{type(self).__name__}: model ready ({path})")
         return path
 
@@ -109,9 +113,14 @@ class _BaseInference:
             idx = trailing_window_indices(n, frame_idx, max(2, self.sequence_length))
         else:
             idx = centered_window_indices(n, frame_idx, self.sequence_length)
-        window = np.asarray(frames)[idx].astype(np.float32)
-        if window.max() > 1.0:
-            window = window / 255.0
+        window = np.asarray(frames)[idx]
+        # Branch on dtype, not data: uint8 always scales by 255 (the
+        # reference's unconditional /255.0, videoflow_processor.py:149-152);
+        # float inputs pass through.
+        if window.dtype == np.uint8:
+            window = window.astype(np.float32) / 255.0
+        else:
+            window = window.astype(np.float32)
         return window.transpose(0, 3, 1, 2)[None]  # [1, T, 3, H, W]
 
     def validate_frames(self, frames, frame_idx) -> None:

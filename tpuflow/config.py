@@ -114,6 +114,7 @@ class PipelineConfig:
     vf_architecture: str = "mof"
     vf_variant: str = "standard"
     # tpu-native extensions (not in the reference CLI)
+    allow_random_init: bool = False    # run without a checkpoint (garbage flows)
     batch_frames: int = 1              # windows batched per device step
     tile_overlap: int = 0              # optional halo blend (0 = reference hard paste)
     data_parallel: int = 1             # devices to shard frames over

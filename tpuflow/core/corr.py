@@ -387,6 +387,141 @@ class CorrPyramid:
         return jnp.concatenate(out, axis=-1)
 
 
+def choose_group(lh: int, lw: int, dtype=jnp.bfloat16) -> int:
+    """Row-group size g for the dense-lookup volume layout [N, ceil(lh/g),
+    g*lw]: minimize the TPU-tiled (sublane x lane) footprint.  Grouping g
+    consecutive plane rows into one storage row is a free row-major
+    reshape and makes the minor dim approach a 128 multiple (a bare
+    [N, lh, lw] with lw=160 pads 1.6x; [N, 80, 320] pads 1.2x)."""
+    sub = 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+    best_g, best_size = 1, None
+    for g in (1, 2, 4, 8, 16, 32):
+        if g > 1 and g >= 2 * lh:
+            break
+        nh = -(-lh // g)
+        size = -(-nh // sub) * sub * (-(-(g * lw) // 128) * 128)
+        if best_size is None or size < best_size:
+            best_g, best_size = g, size
+    return best_g
+
+
+class DenseCorrPyramid:
+    """Materialized pyramid with a GATHER-FREE lookup.
+
+    XLA's TPU gather moves ~12.5 cycles/element (measured,
+    tpuflow/kernels/__init__.py), making the radius lookup ~99% of MOFNet
+    runtime.  This lookup instead STREAMS each volume through the MXU with
+    per-query one-hot selection matrices:
+
+        bands = R @ V        R: [side, nh] one-hot row-group select
+        bands *= phase_mask  (lane // lw == row % g, fused elementwise)
+        patch = bands @ C^T  C: [side, g*lw] one-hot column select
+
+    Cost is one full read of the volume per lookup at streaming bandwidth
+    plus rank-deficient matmuls — ~25x faster than the measured gather at
+    1280-tile shapes, entirely in XLA (no Pallas, no Mosaic constraints).
+    One-hot matmul selection is exact (products are 1.0 * v, f32
+    accumulation of a single nonzero term), so numerics are identical to
+    CorrPyramid.lookup: same clamps, same shared-fraction f32 bilinear.
+
+    Storage: levels as [N, ceil(lh/g), g*lw] (row-major regroup of the
+    flat layout, zero row padding), g per level from choose_group.
+    """
+
+    def __init__(
+        self,
+        pyramid: List[jnp.ndarray],
+        shape: Tuple[int, int, int],
+        target_dims: Optional[Tuple[int, int]] = None,
+    ):
+        self.pyramid = pyramid  # grouped levels [B*H*W, nh, g*lw]
+        self.b, self.h, self.w = shape
+        self.h2, self.w2 = target_dims if target_dims is not None else (self.h, self.w)
+
+    @classmethod
+    def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
+        """Same volume build as CorrPyramid (per-element lax.map bounds the
+        f32 einsum transient), then regroup each flat level."""
+        flat = CorrPyramid.build(fmap1, fmap2, num_levels)
+        b, h, w = flat.b, flat.h, flat.w
+        h2, w2 = flat.h2, flat.w2
+        pyramid = []
+        for lvl, vol in enumerate(flat.pyramid):
+            lh, lw = pyramid_level_dims(h2, w2, lvl)
+            g = choose_group(lh, lw, vol.dtype)
+            nh = -(-lh // g)
+            pad = nh * g * lw - lh * lw
+            if pad:
+                vol = jnp.pad(vol, ((0, 0), (0, pad)))
+            pyramid.append(vol.reshape(vol.shape[0], nh, g * lw))
+        return cls(pyramid, (b, h, w), (h2, w2))
+
+    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+        """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32, numerics identical to
+        CorrPyramid.lookup (tests enforce equality)."""
+        b, h, w, _ = flow.shape
+        r = radius
+        side = 2 * r + 2
+        n = b * h * w
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
+
+        jj = jnp.arange(side, dtype=jnp.int32)
+        out = []
+        for lvl, volume in enumerate(self.pyramid):
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            nh, gw = volume.shape[1], volume.shape[2]
+            g = gw // lw
+            cx = base_x / (2.0**lvl)
+            cy = base_y / (2.0**lvl)
+            fx0 = jnp.floor(cx)
+            fy0 = jnp.floor(cy)
+            wx = (cx - fx0)[:, None, None]
+            wy = (cy - fy0)[:, None, None]
+            px = fx0.astype(jnp.int32) - r
+            py = fy0.astype(jnp.int32) - r
+
+            rr = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)  # [N, side]
+            cc = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)
+            hk = rr // g   # storage row (group) per patch row
+            pk = rr % g    # phase within the group
+
+            # Row-group select on the MXU: one-hot [side, nh] x [nh, gw].
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, side, nh), 2)
+            R = (hk[:, :, None] == row_iota).astype(volume.dtype)
+            bands = jnp.einsum(
+                "nsh,nhw->nsw", R, volume, preferred_element_type=jnp.float32
+            )  # [N, side, gw]
+
+            # Phase mask + column one-hot (lane index decomposes as
+            # phase * lw + column); the mask generation fuses into the
+            # elementwise multiply, only C materializes.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, gw), 2)
+            bands = bands * (lane // lw == pk[:, :, None])
+            C = (lane % lw == cc[:, :, None]).astype(volume.dtype)
+            patch = jnp.einsum(
+                "nsw,ncw->nsc",
+                bands.astype(volume.dtype),  # exact: values are V's own
+                C,
+                preferred_element_type=jnp.float32,
+            )  # [N, side(rows), side(cols)]
+
+            v00 = patch[:, :-1, :-1]
+            v01 = patch[:, :-1, 1:]
+            v10 = patch[:, 1:, :-1]
+            v11 = patch[:, 1:, 1:]
+            sampled = (
+                v00 * (1 - wx) * (1 - wy)
+                + v01 * wx * (1 - wy)
+                + v10 * (1 - wx) * wy
+                + v11 * wx * wy
+            )
+            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
+        return jnp.concatenate(out, axis=-1)
+
+
 def corr_feature_dim(num_levels: int, radius: int) -> int:
     return num_levels * (2 * radius + 1) ** 2
 
@@ -525,18 +660,18 @@ def make_corr(
 ):
     """Pick the correlation implementation.
 
-    'auto' materializes the volume wherever it fits (build is one
-    MXU-friendly matmul and lookups read scalars — the fast path; covers
-    1280x1280 tiles, hw=160x160) and goes on-the-fly only for larger
-    feature grids where the full volume would blow HBM (full-frame 4K;
-    static decision — shapes are known at trace time).  The on-the-fly
-    path trades gather bandwidth for memory; its Pallas fusion is the
-    planned fix (SURVEY §7.2 step 4)."""
-    if impl == "materialized":
+    'auto' materializes the volume wherever it fits (dense gather-free
+    lookup — the fast path; covers 1280x1280 tiles, hw=160x160) and goes
+    on-the-fly only for larger feature grids where the full volume would
+    blow HBM (full-frame 4K; static decision — shapes are known at trace
+    time).  'gather' keeps the round-1 patch-take lookup for comparison."""
+    if impl == "materialized" or impl == "dense":
+        return DenseCorrPyramid.build(fmap1, fmap2, num_levels)
+    if impl == "gather":
         return CorrPyramid.build(fmap1, fmap2, num_levels)
     if impl == "direct":
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
     hw = fmap1.shape[1] * fmap1.shape[2]
     if hw > materialize_threshold:
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
-    return CorrPyramid.build(fmap1, fmap2, num_levels)
+    return DenseCorrPyramid.build(fmap1, fmap2, num_levels)

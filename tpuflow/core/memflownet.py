@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import CorrPyramid, OnTheFlyCorr, make_corr
+from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
 from .update import MaskHead, UpdateBlock, upsample_flow_convex
 
@@ -129,6 +129,9 @@ def _corr_state(corr) -> Tuple:
 def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
+    if impl == "DenseCorrPyramid":
+        n, h, w = grid
+        return DenseCorrPyramid(list(state[1]), (n, h, w), (h, w))
     n, h, w = grid
     return CorrPyramid(list(state[1]), (n, h, w), (h, w))
 

@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import CorrPyramid, OnTheFlyCorr, make_corr
+from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
 from .update import MaskHead, UpdateBlock, upsample_flow_convex
 
@@ -90,6 +90,8 @@ def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
     n, h, w = grid
+    if impl == "DenseCorrPyramid":
+        return DenseCorrPyramid(list(state[1]), (n, h, w), (h, w))
     return CorrPyramid(list(state[1]), (n, h, w), (h, w))
 
 

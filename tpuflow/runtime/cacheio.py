@@ -9,6 +9,7 @@ compute thread — the host-side critical path once inference outpaces IO.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,23 +19,32 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "cacheio.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libcacheio.so")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 
 _lib = None
 _lib_lock = threading.Lock()
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    """Compile the library into a path keyed by the source content hash —
+    only a binary built from the checked-in source is ever loaded (no
+    prebuilt .so can shadow a source edit or a review)."""
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    lib_path = os.path.join(_BUILD_DIR, f"libcacheio-{src_hash}.so")
+    if os.path.exists(lib_path):
+        return lib_path
     try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB],
+             _SRC, "-o", tmp],
             check=True,
             capture_output=True,
         )
-        return _LIB
+        os.replace(tmp, lib_path)  # atomic vs concurrent builders
+        return lib_path
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         print(f"[cacheio] native build unavailable ({e}); using numpy fallback")
         return None

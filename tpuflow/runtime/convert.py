@@ -117,10 +117,24 @@ def map_state_dict_to_params(
 
     Weights are layout-converted by rank (4D conv OIHW->HWIO, 2D linear
     transpose); 'weight' resolves to 'kernel' or 'scale' depending on
-    which leaf exists at the target path.  Returns (new_params, report)."""
+    which leaf exists at the target path.  Mapped paths resolve with or
+    without the tree's top-level scope (flax init trees root at
+    'params/'; torch state dicts do not).  Returns (new_params, report)."""
     flat = flatten_params(params)
     new_flat = dict(flat)
     matched, missing = [], []
+
+    # Top-level scopes of the target tree ('params', 'batch_stats', ...):
+    # name maps may emit scope-free paths.
+    roots = {k.split("/")[0] for k in flat}
+
+    def resolve(key: str) -> Optional[str]:
+        if key in flat:
+            return key
+        for r in roots:
+            if f"{r}/{key}" in flat:
+                return f"{r}/{key}"
+        return None
 
     for tkey, tval in state_dict.items():
         path, kind = name_map(tkey)
@@ -129,8 +143,8 @@ def map_state_dict_to_params(
                 ("kernel", None),
                 ("scale", None),
             ):
-                fkey = f"{path}/{leaf}"
-                if fkey in flat:
+                fkey = resolve(f"{path}/{leaf}")
+                if fkey is not None:
                     if leaf == "kernel" and tval.ndim == 4:
                         val = torch_conv_to_flax(tval)
                     elif leaf == "kernel" and tval.ndim == 2:
@@ -146,12 +160,12 @@ def map_state_dict_to_params(
             else:
                 missing.append((tkey, "no kernel/scale leaf"))
         else:
-            fkey = f"{path}/{kind}" if kind != "raw" else path
-            if fkey in flat and flat[fkey].shape == tval.shape:
+            fkey = resolve(f"{path}/{kind}" if kind != "raw" else path)
+            if fkey is not None and flat[fkey].shape == tval.shape:
                 new_flat[fkey] = tval.astype(flat[fkey].dtype)
                 matched.append(tkey)
             else:
-                missing.append((tkey, "not found" if fkey not in flat else "shape"))
+                missing.append((tkey, "not found" if fkey is None else "shape"))
 
     report = {
         "matched": len(matched),
@@ -220,16 +234,28 @@ def suggest_mapping(
     return out
 
 
-def load_torch_checkpoint_as_params(path: str, engine) -> Dict:
-    """Engine hook: torch .pth -> engine's param tree (best-effort name
-    mapping; unmatched leaves keep their init)."""
+def load_torch_checkpoint_as_params(path: str, engine, min_match: float = 0.95) -> Dict:
+    """Engine hook: torch .pth -> engine's param tree.
+
+    Hard-fails when fewer than `min_match` of the checkpoint tensors map
+    into the param tree — a low match rate means the model would silently
+    run on (mostly) random weights while reporting the checkpoint as
+    loaded."""
     state_dict = load_torch_state_dict(path)
     params = engine.init_params()
     new_params, report = map_state_dict_to_params(state_dict, params)
+    rate = report["matched"] / max(1, report["total_torch"])
     print(
         f"[convert] {report['matched']}/{report['total_torch']} checkpoint "
         f"tensors mapped into {report['total_flax']} param leaves"
     )
+    if rate < min_match:
+        raise ValueError(
+            f"Checkpoint conversion matched only {report['matched']}/"
+            f"{report['total_torch']} tensors ({rate:.1%} < {min_match:.0%}) "
+            f"for {path}. First unmatched: {report['unmatched'][:5]}. "
+            "Refusing to run on partially-random weights."
+        )
     if report["unmatched"]:
-        print(f"[convert] first unmatched: {report['unmatched'][:5]}")
+        print(f"[convert] unmatched (within tolerance): {report['unmatched'][:5]}")
     return new_params

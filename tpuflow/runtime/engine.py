@@ -41,6 +41,10 @@ from ..core.padding import pad_dims
 from .tiles import calculate_tile_grid, extract_tile_batch, paste_tile_flows
 from .windows import all_window_indices, centered_window_indices, trailing_window_indices
 
+# Sentinel checkpoint path: explicit opt-in to random weights (benchmarks,
+# throughput tests — weight-independent workloads).
+RANDOM_INIT = "__random_init__"
+
 
 def default_compute_dtype():
     """bf16 on accelerators (MXU-native), f32 on CPU (tests/parity)."""
@@ -99,23 +103,43 @@ class FlowEngine:
     # ------------------------------------------------------------------
     # model loading
     # ------------------------------------------------------------------
-    def load_model(self, checkpoint_path: Optional[str] = None) -> str:
-        """Initialize parameters: from a converted torch checkpoint when
-        available (checkpoint naming contract: videoflow_core.py:79-85,
-        flow_processor.py:66-67), else deterministic random init."""
+    def load_model(
+        self,
+        checkpoint_path: Optional[str] = None,
+        allow_random_init: bool = False,
+    ) -> str:
+        """Initialize parameters from a converted torch checkpoint
+        (checkpoint naming contract: videoflow_core.py:79-85,
+        flow_processor.py:66-67).
+
+        A missing checkpoint raises FileNotFoundError like the reference
+        (videoflow_core.py:97-98) unless `allow_random_init=True` (or the
+        RANDOM_INIT sentinel path) explicitly opts into deterministic
+        random weights — silent random init would let garbage flows be
+        written into (and later reused from) the per-frame cache."""
         if self.params is not None:
             self._loaded = True
             return "preloaded"
+        if checkpoint_path in (RANDOM_INIT, "__bench_random_init__"):
+            checkpoint_path, allow_random_init = None, True
         path = checkpoint_path or self.config.checkpoint_path
         import os
 
         if path and os.path.exists(path):
             from .convert import load_torch_checkpoint_as_params
 
+            # Raises on low checkpoint->param match rate rather than
+            # silently running converted-in-name-only weights.
             self.params = load_torch_checkpoint_as_params(path, self)
             self._loaded = True
             return path
 
+        if not allow_random_init:
+            raise FileNotFoundError(
+                f"Model file not found: {path}. Download the checkpoint or "
+                "pass allow_random_init=True to run with random weights "
+                "(outputs will be meaningless; they are still cached)."
+            )
         # Random init on tiny shapes (params are shape-independent for
         # conv/attention nets).
         self.params = self.init_params()
@@ -224,6 +248,13 @@ class FlowEngine:
         n, h, w = arr.shape[:3]
         t = self.config.sequence_length
         stride = t - 2
+
+        # Every dispatched batch is padded up to window_batch, so keeping
+        # window_batch itself a multiple of the mesh's data axis keeps the
+        # shard split even (same policy as compute_flow_batch).
+        if self.mesh is not None:
+            d = self.mesh.shape.get("data", 1)
+            window_batch += (-window_batch) % d
 
         starts = list(range(-1, n - 1, stride))
         fwd = self._videoflow_forward_all(h, w)
@@ -390,6 +421,10 @@ class FlowEngine:
         h, w = frames[0].shape[:2]
         if h <= tile_size and w <= tile_size:
             return self.compute_flow(frames, frame_idx)
+
+        if self.mesh is not None:
+            d = self.mesh.shape.get("data", 1)
+            tile_batch += (-tile_batch) % d
 
         _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
         t = self.config.sequence_length

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vf-architecture", choices=["mof", "bof"], default="mof", help="VideoFlow architecture")
     p.add_argument("--vf-variant", choices=["standard", "noise"], default="standard", help="VideoFlow model variant")
     # tpu-native extensions
+    p.add_argument(
+        "--allow-random-init", action="store_true",
+        help="[tpu] run without a checkpoint on random weights (flows are "
+             "meaningless; for smoke tests and throughput work only)",
+    )
     p.add_argument("--batch-frames", type=int, default=4, help="[tpu] windows batched per device step")
     p.add_argument("--tile-overlap", type=int, default=0, help="[tpu] tile halo overlap in pixels (0 = reference hard paste)")
     p.add_argument("--data-parallel", type=int, default=1, help="[tpu] devices to shard the frame batch over")
@@ -93,6 +98,7 @@ def args_to_config(args: argparse.Namespace) -> PipelineConfig:
         vf_dataset=args.vf_dataset,
         vf_architecture=args.vf_architecture,
         vf_variant=args.vf_variant,
+        allow_random_init=args.allow_random_init,
         batch_frames=args.batch_frames,
         tile_overlap=args.tile_overlap,
         data_parallel=args.data_parallel,

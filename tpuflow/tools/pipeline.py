@@ -372,7 +372,9 @@ class FlowPipeline:
             ]
         else:
             print(f"[Model] {self.model_label} on {self.device}")
-            loaded_from = self.engine.load_model(c.model_path)
+            loaded_from = self.engine.load_model(
+                c.model_path, allow_random_init=c.allow_random_init
+            )
             print(f"[Model] parameters: {loaded_from}")
             cache_format = c.save_flow if c.save_flow else "npz"
             flows = self.compute_all_flows(frames, cache_dir, cache_format)
