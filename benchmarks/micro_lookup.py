@@ -40,25 +40,42 @@ def main():
     except Exception:
         pass
 
-    from tpuflow.core.corr import CorrPyramid
+    from tpuflow.core.corr import CorrPyramid, DenseCorrPyramid, choose_group, pyramid_level_dims
 
     B, H8, W8, R, L = 3, 160, 160, 4, 4
     N = B * H8 * W8
     rng = np.random.default_rng(0)
 
-    # Synthetic flat pyramid (bf16) + flow.
-    pyr = []
-    lh, lw = H8, W8
-    for _ in range(L):
-        pyr.append(jax.device_put(jnp.asarray(
-            rng.normal(size=(N, lh * lw)).astype(np.float32), dtype=jnp.bfloat16)))
-        lh, lw = lh // 2, lw // 2
+    # Synthetic pyramids generated ON DEVICE (a host-side 4 GB pyramid
+    # would take minutes of RNG + relay upload).
+    @jax.jit
+    def gen(key):
+        flat, grouped = [], []
+        for lvl in range(L):
+            lh, lw = pyramid_level_dims(H8, W8, lvl)
+            key, sub = jax.random.split(key)
+            v = jax.random.normal(sub, (N, lh * lw), jnp.bfloat16)
+            flat.append(v)
+            g = choose_group(lh, lw, jnp.bfloat16)
+            nh = -(-lh // g)
+            pad = nh * g * lw - lh * lw
+            grouped.append(jnp.pad(v, ((0, 0), (0, pad))).reshape(N, nh, g * lw))
+        return tuple(flat), tuple(grouped)
+
+    pyr, grouped = gen(jax.random.PRNGKey(0))
+    pyr, grouped = list(pyr), list(grouped)
+    for lvl, gv in enumerate(grouped):
+        print(f"  level {lvl}: grouped {gv.shape}", flush=True)
     flow = jax.device_put(jnp.asarray(rng.normal(0, 8, (B, H8, W8, 2)).astype(np.float32)))
 
     cp = CorrPyramid(list(pyr), (B, H8, W8), (H8, W8))
+    dp = DenseCorrPyramid(list(grouped), (B, H8, W8), (H8, W8))
 
-    bench(jax.jit(lambda f: cp.lookup_span(f, R)), flow, label="lookup span (experimental)")
+    bench(jax.jit(lambda f: dp.lookup(f, R)), flow, label="lookup dense (one-hot MXU)")
     bench(jax.jit(lambda f: cp.lookup_rows(f, R)), flow, label="lookup row-band")
+    if os.environ.get("MICRO_SPAN"):
+        # Crashed the v5e worker via the remote-compile harness; opt-in.
+        bench(jax.jit(lambda f: cp.lookup_span(f, R)), flow, label="lookup span (experimental)")
     if os.environ.get("MICRO_TAKE"):
         # The standalone patch-take program compiles pathologically slowly
         # on the remote helper; opt-in only.

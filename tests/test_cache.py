@@ -141,3 +141,45 @@ def test_lod_files_and_probe(tmp_path, random_flow):
     assert mgr.check_flow_lods_exist(cache_dir, 1)
     lod2 = mgr.load_flow_lod(cache_dir, 0, 2)
     assert lod2.shape == (random_flow.shape[0] // 4, random_flow.shape[1] // 4, 2)
+
+
+def test_lod_cache_statistics(tmp_path, random_flow, capsys):
+    """The per-level LOD audit (flow_processor.py:229-408 parity): counts,
+    coverage, dimensions, missing frames, size distribution."""
+    mgr = FlowCacheManager()
+    cache_dir = str(tmp_path / "cache")
+    for i in range(3):
+        mgr.save_flow_to_cache(random_flow, cache_dir, i)
+    mgr.generate_lods_for_cache(cache_dir, 3, progress=False)
+    # Knock out one LOD file to exercise the problem-frame paths.
+    import os
+
+    os.remove(os.path.join(cache_dir, "flow_frame_000001_lod3.npz"))
+
+    s = mgr.lod_cache_statistics(cache_dir, 3)
+    assert s["total_files"] == 14
+    assert s["frames_complete"] == 2
+    assert s["frames_partial"] == 1
+    assert s["levels"][3]["missing_frames"] == [1]
+    assert s["problematic"] == [1]
+    h, w = random_flow.shape[:2]
+    assert s["levels"][0]["dimensions"] == {(w, h)}
+    assert s["levels"][1]["dimensions"] == {((w + 1) // 2, (h + 1) // 2)}
+    assert s["size_min"] <= s["size_median"] <= s["size_max"]
+
+    report = mgr.print_lod_cache_statistics(cache_dir, 3)
+    out = capsys.readouterr().out
+    assert "--- LOD Cache Statistics ---" in out
+    assert "Completion rate: 66.7%" in out
+    assert "Files found: 2/3" in out
+    assert "Missing frames: 1" in out
+    assert "Problematic Frames" in out
+    assert "Size Distribution:" in out
+    assert report["total_files"] == 14
+
+
+def test_lod_statistics_empty_dir(tmp_path, capsys):
+    mgr = FlowCacheManager()
+    out_stats = mgr.print_lod_cache_statistics(str(tmp_path / "nope"), 4)
+    assert out_stats == {}
+    assert "no LOD data available" in capsys.readouterr().out

@@ -90,7 +90,7 @@ def test_pipeline_end_to_end(video, tmp_path):
     cap.release()
 
 
-def test_pipeline_cache_reuse(video, tmp_path):
+def test_pipeline_cache_reuse(video, tmp_path, capsys):
     out_dir = str(tmp_path / "results")
     os.makedirs(out_dir)
     config = PipelineConfig(
@@ -103,10 +103,16 @@ def test_pipeline_cache_reuse(video, tmp_path):
     cache_dir = pipe.cache_dir_for(video, 0, 4)
     flow0 = pipe.cache_manager.load_cached_flow(cache_dir, 0)
 
-    # Second run must hit the cache (engine never loads).
-    pipe2 = FlowPipeline(config, engine=tiny_engine())
+    # Second run must hit the cache (engine never loads) and print the
+    # LOD cache audit (flow_processor.py:850 parity).
+    config2 = config.replace(skip_lods=False)
+    pipe2 = FlowPipeline(config2, engine=tiny_engine())
+    capsys.readouterr()
     pipe2.process_video()
+    out = capsys.readouterr().out
     assert not pipe2.engine.is_model_loaded()
+    assert "--- LOD Cache Statistics ---" in out
+    assert "Completion rate: 100.0%" in out
     np.testing.assert_array_equal(
         flow0, pipe2.cache_manager.load_cached_flow(cache_dir, 0)
     )

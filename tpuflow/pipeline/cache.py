@@ -277,6 +277,147 @@ class FlowCacheManager:
                     return False
         return True
 
+    def lod_cache_statistics(
+        self, cache_dir: str, max_frames: int, num_lods: int = 5
+    ) -> dict:
+        """Per-level LOD cache audit (the data behind the reference's
+        report, flow_processor.py:229-408): file counts, sizes, unique
+        dimensions, missing frames, per-frame completeness, size
+        distribution.  Note: the reference CLI report scans a 'lods/'
+        subdirectory that nothing ever creates (flow_processor.py:240 vs
+        cache_manager.py:291) and so always reports no data; we audit the
+        actual layout (flat `flow_frame_%06d_lod{k}.npz`)."""
+        levels = {
+            lvl: {"count": 0, "total_size": 0, "missing_frames": [], "dimensions": set()}
+            for lvl in range(num_lods)
+        }
+        frames = {}
+        total_files = 0
+        total_bytes = 0
+        all_sizes: List[int] = []
+
+        for frame_idx in range(max_frames):
+            frame_count = 0
+            frame_size = 0
+            for lvl in range(num_lods):
+                path = os.path.join(
+                    cache_dir, f"flow_frame_{frame_idx:06d}_lod{lvl}.npz"
+                )
+                if not os.path.exists(path):
+                    levels[lvl]["missing_frames"].append(frame_idx)
+                    continue
+                try:
+                    size = os.path.getsize(path)
+                    lod = self.load_flow_lod(cache_dir, frame_idx, lvl)
+                    levels[lvl]["dimensions"].add((lod.shape[1], lod.shape[0]))
+                except Exception:
+                    levels[lvl]["missing_frames"].append(frame_idx)
+                    continue
+                levels[lvl]["count"] += 1
+                levels[lvl]["total_size"] += size
+                frame_count += 1
+                frame_size += size
+                total_files += 1
+                total_bytes += size
+                all_sizes.append(size)
+            frames[frame_idx] = {"count": frame_count, "total_size": frame_size}
+
+        complete = sum(1 for f in frames.values() if f["count"] == num_lods)
+        partial = sum(1 for f in frames.values() if 0 < f["count"] < num_lods)
+        missing = sum(1 for f in frames.values() if f["count"] == 0)
+        all_sizes.sort()
+        return {
+            "total_files": total_files,
+            "total_bytes": total_bytes,
+            "frames_complete": complete,
+            "frames_partial": partial,
+            "frames_missing": missing,
+            "max_frames": max_frames,
+            "num_lods": num_lods,
+            "levels": levels,
+            "frames": frames,
+            "problematic": [i for i, f in frames.items() if f["count"] < num_lods],
+            "size_min": all_sizes[0] if all_sizes else 0,
+            "size_max": all_sizes[-1] if all_sizes else 0,
+            "size_median": all_sizes[len(all_sizes) // 2] if all_sizes else 0,
+        }
+
+    def print_lod_cache_statistics(
+        self, cache_dir: str, max_frames: int, num_lods: int = 5
+    ) -> dict:
+        """Human-readable LOD audit report, section-for-section matching
+        the reference's (flow_processor.py:325-408: overall summary, frame
+        coverage, per-level stats w/ dims + missing frames, problematic
+        frames, size distribution)."""
+        print("\n--- LOD Cache Statistics ---")
+        if not os.path.isdir(cache_dir):
+            print("Cache directory not found - no LOD data available.")
+            print("---------------------------\n")
+            return {}
+        print(f"Analyzing LOD data for {max_frames} frames with {num_lods} expected levels...")
+        s = self.lod_cache_statistics(cache_dir, max_frames, num_lods)
+
+        print("\nOverall Summary:")
+        print(f"  Total LOD files found: {s['total_files']}")
+        print(f"  Total LOD data size: {s['total_bytes'] / (1024 * 1024):.2f} MB")
+        if s["total_files"]:
+            print(f"  Average LOD file size: {s['total_bytes'] / s['total_files'] / 1024:.1f} KB")
+        else:
+            print("  Average LOD file size: N/A")
+
+        print("\nFrame Coverage:")
+        print(f"  Frames with complete LODs ({num_lods}/{num_lods}): {s['frames_complete']}")
+        print(f"  Frames with partial LODs: {s['frames_partial']}")
+        print(f"  Frames missing all LODs: {s['frames_missing']}")
+        rate = s["frames_complete"] / max_frames * 100 if max_frames else 0.0
+        print(f"  Completion rate: {rate:.1f}%")
+
+        print("\nPer-Level Statistics:")
+        for lvl in range(num_lods):
+            st = s["levels"][lvl]
+            coverage = st["count"] / max_frames * 100 if max_frames else 0.0
+            avg = st["total_size"] / st["count"] / 1024 if st["count"] else 0.0
+            print(f"  LOD Level {lvl}:")
+            print(f"    Files found: {st['count']}/{max_frames} ({coverage:.1f}%)")
+            print(f"    Total size: {st['total_size'] / (1024 * 1024):.2f} MB")
+            print(f"    Average size: {avg:.1f} KB")
+            dims = sorted(st["dimensions"])
+            if len(dims) == 1:
+                print(f"    Dimensions: {dims[0][0]}x{dims[0][1]} pixels")
+            elif dims:
+                print(f"    Dimensions: {len(dims)} different sizes found:")
+                for w, h in dims:
+                    print(f"      {w}x{h} pixels")
+            else:
+                print("    Dimensions: No valid data")
+            miss = st["missing_frames"]
+            if miss:
+                if len(miss) <= 10:
+                    print(f"    Missing frames: {', '.join(map(str, miss))}")
+                else:
+                    print(f"    Missing frames: {len(miss)} frames (showing first 10)")
+                    print(f"      {', '.join(map(str, miss[:10]))}...")
+
+        if s["problematic"]:
+            print("\nProblematic Frames (missing some/all LODs):")
+            prob = s["problematic"]
+            if len(prob) <= 20:
+                for i in prob:
+                    f = s["frames"][i]
+                    print(f"  Frame {i}: {f['count']}/{num_lods} LODs, {f['total_size'] / 1024:.1f} KB")
+            else:
+                print(f"  {len(prob)} frames have missing LODs")
+                print(f"  First 10: {', '.join(map(str, prob[:10]))}")
+                print(f"  Last 10: {', '.join(map(str, prob[-10:]))}")
+
+        if s["total_files"]:
+            print("\nSize Distribution:")
+            print(f"  Minimum LOD file: {s['size_min'] / 1024:.1f} KB")
+            print(f"  Maximum LOD file: {s['size_max'] / 1024:.1f} KB")
+            print(f"  Median LOD file: {s['size_median'] / 1024:.1f} KB")
+        print("---------------------------\n")
+        return s
+
     def generate_lods_for_cache(
         self, cache_dir: str, max_frames: int, num_lods: int = 5, progress: bool = True
     ) -> None:

@@ -363,6 +363,8 @@ class FlowPipeline:
             if not self.cache_manager.check_flow_lods_exist(cache_dir, n):
                 print("LOD pyramids not found, generating...")
                 self.cache_manager.generate_lods_for_cache(cache_dir, n)
+            # Per-level cache audit on cache hit (flow_processor.py:850).
+            self.cache_manager.print_lod_cache_statistics(cache_dir, n)
 
         # -- flows ----------------------------------------------------------
         if use_cached:
@@ -410,6 +412,8 @@ class FlowPipeline:
         if not use_cached and cache_dir and not c.skip_lods:
             print("Generating LOD pyramids for computed flow...")
             self.cache_manager.generate_lods_for_cache(cache_dir, n)
+            # Audit report after generation (flow_processor.py:1167).
+            self.cache_manager.print_lod_cache_statistics(cache_dir, n)
 
         if not c.no_autoplay:
             self.auto_play_video(output_path)

@@ -274,6 +274,8 @@ def launch_interactive(config) -> int:
     if not ok:
         print(f"Cache incomplete ({len(missing)} frames missing) — computing flow first...")
         pipeline.process_video()
+    # LOD audit before handing off to the viewer (flow_processor.py:1496).
+    pipeline.cache_manager.print_lod_cache_statistics(flow_dir, n)
 
     inspector = FlowInspector(config.input, flow_dir, fast_mode=config.fast, max_frames=n, start_frame=start)
     try:
