@@ -89,6 +89,62 @@ def test_tile_grid_4k():
     assert tiles[-1] == dict(x=2560, y=1280, width=1280, height=880, col=2, row=1)
 
 
+def test_tile_shape_groups_1080p():
+    from tpuflow.runtime.tiles import extract_tile_group, group_tiles_by_shape
+
+    _, _, _, _, tiles = calculate_tile_grid(1920, 1080, 1280)
+    groups = group_tiles_by_shape(tiles)
+    # Edge tiles run at their ACTUAL size (no 1280-square padding).
+    assert set(groups) == {(1080, 1280), (1080, 640)}
+
+    frames = np.arange(2 * 1080 * 1920 * 1, dtype=np.uint8).reshape(2, 1080, 1920, 1)
+    for (th, tw), idxs in groups.items():
+        batch = extract_tile_group(frames, tiles, idxs, overlap=0)
+        assert batch.shape == (len(idxs), 2, th, tw, 1)
+        info = tiles[idxs[0]]
+        np.testing.assert_array_equal(
+            batch[0],
+            frames[:, info["y"] : info["y"] + th, info["x"] : info["x"] + tw],
+        )
+
+
+def test_extract_tile_group_overlap_halo():
+    from tpuflow.runtime.tiles import extract_tile_group
+
+    _, _, _, _, tiles = calculate_tile_grid(100, 60, 64)
+    frames = np.random.default_rng(0).integers(0, 255, (1, 60, 100, 3), dtype=np.uint8)
+    # Tile 1 is the right-edge tile (36 wide); halo of 4.
+    batch = extract_tile_group(frames, tiles, [1], overlap=4)
+    assert batch.shape == (1, 1, 68, 44, 3)
+    # Left halo comes from the neighbor's real pixels...
+    np.testing.assert_array_equal(batch[0, :, 4:64, :4], frames[:, :, 60:64])
+    # ...right halo replicates the frame edge.
+    np.testing.assert_array_equal(
+        batch[0, :, 4:64, -1], frames[:, :, 99]
+    )
+
+
+def test_paste_variable_shape_tiles():
+    _, _, _, _, tiles = calculate_tile_grid(100, 60, 64)
+    # Exact-size per-tile flows (list, not uniform stack).
+    flows = [
+        np.full((t["height"], t["width"], 2), i + 1, np.float32)
+        for i, t in enumerate(tiles)
+    ]
+    full = paste_tile_flows(flows, tiles, 100, 60, 64, overlap=0)
+    assert (full[0, 0] == 1).all() and (full[0, 99] == 2).all()
+
+    # Feathered paste with exact-size (+halo) tiles stays a partition of
+    # unity: constant tiles -> constant canvas.
+    ov = 4
+    flows = [
+        np.full((t["height"] + 2 * ov, t["width"] + 2 * ov, 2), 3.0, np.float32)
+        for t in tiles
+    ]
+    full = paste_tile_flows(flows, tiles, 100, 60, 64, overlap=ov)
+    np.testing.assert_allclose(full, 3.0, rtol=1e-5)
+
+
 def test_paste_hard_matches_reference_semantics():
     _, _, _, _, tiles = calculate_tile_grid(100, 60, 64)
     flows = np.stack(

@@ -38,7 +38,13 @@ from ..config import ModelConfig, TILE_SIZE
 from ..core.memflownet import MemFlowNet, MemoryState, init_memory
 from ..core.mofnet import BOFNet, MOFNet
 from ..core.padding import pad_dims
-from .tiles import calculate_tile_grid, extract_tile_batch, paste_tile_flows
+from .tiles import (
+    calculate_tile_grid,
+    extract_tile_batch,
+    extract_tile_group,
+    group_tiles_by_shape,
+    paste_tile_flows,
+)
 from .windows import all_window_indices, centered_window_indices, trailing_window_indices
 
 # Sentinel checkpoint path: explicit opt-in to random weights (benchmarks,
@@ -409,9 +415,13 @@ class FlowEngine:
         overlap: int = 0,
         tile_batch: int = 4,
     ) -> np.ndarray:
-        """Tile-mode flow: all tiles batched through the compiled forward
+        """Tile-mode flow: tiles batched through the compiled forward
         instead of a Python loop (videoflow_processor.py:231-283 ->
-        SURVEY §7.4).  overlap=0 reproduces the hard paste."""
+        SURVEY §7.4), grouped by their ACTUAL shape so shrunken edge tiles
+        are computed at their own size like the reference does
+        (videoflow_processor.py:112-120) — at 1080p this is ~1.6x fewer
+        FLOPs than padding every tile to the 1280 square.  overlap=0
+        reproduces the hard paste."""
         if not self._loaded:
             raise RuntimeError("Model not loaded. Call load_model() first.")
         if self.config.model == "memflow":
@@ -432,19 +442,23 @@ class FlowEngine:
         win = centered_window_indices(n, frame_idx, t)
         window_frames = np.asarray(frames)[win]  # [T, H, W, 3]
 
-        tiles = extract_tile_batch(window_frames, tiles_info, tile_size, overlap)
-        size = tile_size + 2 * overlap
-        fwd = self._videoflow_forward(size, size)
-
-        tile_flows = []
-        for i in range(0, len(tiles), tile_batch):
-            chunk = tiles[i : i + tile_batch]
-            pad_n = tile_batch - len(chunk)
-            if pad_n:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad_n, 0)])
-            flows = np.asarray(fwd(self.params, jnp.asarray(chunk)))
-            tile_flows.append(flows[: len(flows) - pad_n if pad_n else len(flows)])
-        tile_flows = np.concatenate(tile_flows)
+        tile_flows: List = [None] * len(tiles_info)
+        for (th, tw), idxs in group_tiles_by_shape(tiles_info).items():
+            tiles = extract_tile_group(window_frames, tiles_info, idxs, overlap)
+            fwd = self._videoflow_forward(th + 2 * overlap, tw + 2 * overlap)
+            d = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+            for i in range(0, len(tiles), tile_batch):
+                chunk = tiles[i : i + tile_batch]
+                kept = len(chunk)
+                # Pad only to the mesh's data axis (not to tile_batch: that
+                # would multiply the work of small shape groups).  Remainder
+                # batches cost at most one extra compile per group shape.
+                pad_n = (-kept) % d
+                if pad_n:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad_n, 0)])
+                flows = np.asarray(fwd(self.params, jnp.asarray(chunk)))
+                for j in range(kept):
+                    tile_flows[idxs[i + j]] = flows[j]
         return paste_tile_flows(tile_flows, tiles_info, w, h, tile_size, overlap)
 
     def stream_flows(

@@ -92,6 +92,46 @@ def extract_tile_batch(
     return out
 
 
+def group_tiles_by_shape(tiles_info: List[dict]) -> dict:
+    """Group tile indices by their ACTUAL (height, width).
+
+    The reference computes edge tiles at their shrunken size
+    (videoflow_processor.py:73-120) instead of padding them to the full
+    tile square; batching per shape group recovers that — a 1920x1080
+    frame runs one 1280x1080 + one 640x1080 forward (2.07 MP) instead of
+    two 1280x1280 ones (3.28 MP), ~1.6x fewer FLOPs.  At most 4 distinct
+    shapes exist per video (interior / right edge / bottom edge / corner),
+    so the per-shape compile count is bounded."""
+    groups: dict = {}
+    for i, info in enumerate(tiles_info):
+        groups.setdefault((info["height"], info["width"]), []).append(i)
+    return groups
+
+
+def extract_tile_group(
+    frames: np.ndarray, tiles_info: List[dict], indices: List[int], overlap: int = 0
+) -> np.ndarray:
+    """Stack the tiles in `indices` (which all share height/width) into
+    one batch at their EXACT size: [len(indices), T, h+2o, w+2o, C].
+    Only halo context is edge-replicate padded."""
+    t, H, W, c = frames.shape
+    th = tiles_info[indices[0]]["height"]
+    tw = tiles_info[indices[0]]["width"]
+    out = np.empty((len(indices), t, th + 2 * overlap, tw + 2 * overlap, c), frames.dtype)
+    for j, i in enumerate(indices):
+        info = tiles_info[i]
+        x0 = info["x"] - overlap
+        y0 = info["y"] - overlap
+        x1 = info["x"] + tw + overlap
+        y1 = info["y"] + th + overlap
+        sx0, sy0 = max(0, x0), max(0, y0)
+        sx1, sy1 = min(W, x1), min(H, y1)
+        crop = frames[:, sy0:sy1, sx0:sx1]
+        pad = ((0, 0), (sy0 - y0, y1 - sy1), (sx0 - x0, x1 - sx1), (0, 0))
+        out[j] = np.pad(crop, pad, mode="edge")
+    return out
+
+
 def paste_tile_flows(
     tile_flows: np.ndarray,
     tiles_info: List[dict],
@@ -103,6 +143,9 @@ def paste_tile_flows(
     """Assemble per-tile flows [num_tiles, size, size, 2] into a full
     [H, W, 2] canvas.
 
+    `tile_flows` may be a stacked array of uniform padded tiles OR a list
+    of per-tile arrays at their exact (shrunken-edge) sizes.
+
     overlap == 0 reproduces the reference's hard paste
     (videoflow_processor.py:277).  With overlap > 0, halo regions blend
     with a linear feather weight so seams vanish."""
@@ -113,14 +156,17 @@ def paste_tile_flows(
             full[y : y + h, x : x + w] = flow[:h, :w]
         return full
 
-    size = tile_size + 2 * overlap
     acc = np.zeros((height, width, 2), dtype=np.float32)
     wacc = np.zeros((height, width, 1), dtype=np.float32)
 
-    ramp = np.minimum(np.arange(size) + 1, np.arange(size)[::-1] + 1).astype(np.float32)
-    ramp = np.minimum(ramp, overlap + 1) / (overlap + 1)
-    feather = ramp[:, None] * ramp[None, :]
+    def feather_for(fh, fw):
+        def ramp(n):
+            r = np.minimum(np.arange(n) + 1, np.arange(n)[::-1] + 1).astype(np.float32)
+            return np.minimum(r, overlap + 1) / (overlap + 1)
 
+        return ramp(fh)[:, None] * ramp(fw)[None, :]
+
+    feathers: dict = {}
     for flow, info in zip(tile_flows, tiles_info):
         x0 = info["x"] - overlap
         y0 = info["y"] - overlap
@@ -130,7 +176,10 @@ def paste_tile_flows(
         sy1 = min(height, info["y"] + info["height"] + overlap)
         fy0, fx0 = sy0 - y0, sx0 - x0
         fy1, fx1 = fy0 + (sy1 - sy0), fx0 + (sx1 - sx0)
-        wpatch = feather[fy0:fy1, fx0:fx1, None]
+        key = (flow.shape[0], flow.shape[1])
+        if key not in feathers:
+            feathers[key] = feather_for(*key)
+        wpatch = feathers[key][fy0:fy1, fx0:fx1, None]
         acc[sy0:sy1, sx0:sx1] += flow[fy0:fy1, fx0:fx1] * wpatch
         wacc[sy0:sy1, sx0:sx1] += wpatch
 
