@@ -2,12 +2,19 @@
 """Benchmark: 1080p optical-flow throughput, MOF seq=5, single chip.
 
 Reproduces BASELINE.json's primary metric ("1080p flow frames/sec/chip,
-MOF seq=5") in the regime the reference itself uses at 1080p: tile-mode
-1280x1280 (it needs --tile to fit its 8 GB minimum-spec GPU).  Full-size
-MOFNet — decoder_depth=12, corr_levels=4, corr_radius=4
-(videoflow_core.py defaults) — bf16 compute, materialized bf16
-correlation pyramids, per-frame work = the 2 tile windows of a
-1920x1080 frame through the compiled forward.
+MOF seq=5") in the regime the reference itself uses at 1080p: tile mode
+(it needs --tile to fit its 8 GB minimum-spec GPU).  Full-size MOFNet —
+decoder_depth=12, corr_levels=4, corr_radius=4 (videoflow_core.py
+defaults) — bf16 compute, gather-free dense correlation lookup, tiles
+computed at their ACTUAL bucketed shapes (1280x1080 + 640x1080 per
+1920x1080 frame, like the reference's shrunken edge tiles).
+
+HEADLINE metric semantics = the reference's own: stride-1, middle-frame
+flow per window (videoflow_core.py:193-195) — one full window pass per
+output frame.  The engine's stride-interior mode (every interior frame
+kept, (T-2)x fewer passes) is reported on stderr as a secondary number
+but NOT used for the headline, since its outputs are not
+frame-for-frame identical to the reference's.
 
 Measurement is DEVICE THROUGHPUT: inputs are device-resident and outputs
 reduce to a checksum scalar on device.  On this dev harness the chip sits
@@ -50,7 +57,11 @@ def main():
 
     from tpuflow.config import ModelConfig
     from tpuflow.runtime.engine import FlowEngine
-    from tpuflow.runtime.tiles import calculate_tile_grid, extract_tile_batch
+    from tpuflow.runtime.tiles import (
+        calculate_tile_grid,
+        extract_tile_group,
+        group_tiles_by_shape,
+    )
     from tpuflow.runtime.windows import centered_window_indices
 
     t_start = time.perf_counter()
@@ -72,57 +83,55 @@ def main():
     frames = rng.integers(0, 256, (T + 3, H, W, 3), dtype=np.uint8)
     _, _, _, _, tiles_info = calculate_tile_grid(W, H, TILE)
     win = centered_window_indices(len(frames), 3, T)
-    tiles = extract_tile_batch(frames[win], tiles_info, TILE)  # [2, T, 1280, 1280, 3]
 
-    log(f"uploading {tiles.nbytes / 1e6:.0f} MB of tile windows")
-    w0 = jax.device_put(jnp.asarray(tiles[0:1]))
-    w1 = jax.device_put(jnp.asarray(tiles[1:2]))
-
-    # Stride-interior execution (engine.compute_flows_strided /
-    # --stride-mode interior): every window yields flows for ALL T-2
-    # interior frames — the model estimates them jointly either way; the
-    # reference's stride-1 loop discards all but the middle one
-    # (videoflow_core.py:193-195).  One window batch = 2 tiles = T-2
-    # 1080p flow frames.
-    fwd = engine._videoflow_forward_all(TILE, TILE)
-    frames_per_window = T - 2
+    # One compiled forward per tile shape group: 1280x1080 + 640x1080
+    # (the reference's shrunken edge tiles, videoflow_processor.py:112-120).
+    groups = []
+    for (th, tw), idxs in group_tiles_by_shape(tiles_info).items():
+        tiles = extract_tile_group(frames[win], tiles_info, idxs, overlap=0)
+        dev = jax.device_put(jnp.asarray(tiles))
+        fwd = engine._videoflow_forward_all(th, tw)
+        groups.append((fwd, dev, th, tw))
+        log(f"tile group {len(idxs)}x {th}x{tw} uploaded ({tiles.nbytes / 1e6:.0f} MB)")
 
     @jax.jit
-    def checksum(a, b):
-        return (jnp.mean(jnp.abs(a)) + jnp.mean(jnp.abs(b))).astype(jnp.float32)
+    def checksum(parts):
+        return sum(jnp.mean(jnp.abs(p)).astype(jnp.float32) for p in parts)
 
     def one_window():
-        return fwd(engine.params, w0), fwd(engine.params, w1)
+        return [fwd(engine.params, dev) for fwd, dev, _, _ in groups]
 
-    log("warmup (compiles the tile forward)")
-    a, b = one_window()
-    chk = float(checksum(a, b))
+    log("warmup (compiles one forward per tile shape)")
+    outs = one_window()
+    chk = float(checksum(outs))
     assert np.isfinite(chk), chk
-    assert a.shape[1] == frames_per_window
+    frames_per_window = T - 2
+    assert outs[0].shape[1] == frames_per_window
     log(f"warmup done (checksum {chk:.4f}); timing")
 
-    iters = 6
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        a, b = one_window()
+        outs = one_window()
     # One scalar fetch serializes the async chain.
-    chk = float(checksum(a, b))
+    chk = float(checksum(outs))
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
+
+    stride1_fps = iters / dt  # reference semantics: 1 output frame / window
+    interior_fps = iters * frames_per_window / dt
     log(
-        f"{iters} windows ({iters * frames_per_window} flow frames) in {dt:.3f}s"
-        f" ({iters / dt:.3f} windows/s; stride-1 parity mode would be"
-        f" {iters / dt:.3f} frames/s)"
+        f"{iters} window passes in {dt:.3f}s -> stride-1 (reference parity) "
+        f"{stride1_fps:.3f} frames/s; stride-interior mode {interior_fps:.3f} frames/s"
     )
 
-    frames_per_sec = iters * frames_per_window / dt
     print(
         json.dumps(
             {
-                "metric": "1080p flow frames/sec/chip (MOF seq=5)",
-                "value": round(frames_per_sec, 3),
+                "metric": "1080p flow frames/sec/chip (MOF seq=5, stride-1 reference semantics)",
+                "value": round(stride1_fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / REFERENCE_FPS_ESTIMATE, 2),
+                "vs_baseline": round(stride1_fps / REFERENCE_FPS_ESTIMATE, 2),
             }
         )
     )

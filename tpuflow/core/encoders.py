@@ -88,88 +88,105 @@ class BasicEncoder(nn.Module):
 
 
 # =============================================================================
-# Twins-SVT (locally-grouped self attention + global sub-sampled attention)
+# Twins-SVT (upstream-faithful: timm twins_svt_large truncated to 2 stages)
 # =============================================================================
-class PatchEmbed(nn.Module):
-    embed_dim: int
-    patch_size: int
-    dtype: Dtype = jnp.float32
+# VideoFlow/MemFlow wrap `timm.create_model('twins_svt_large')` (the
+# reference pins timm==0.4.12, requirements.txt:13) and run only the
+# first TWO stages (forward(..., layer=2)) to get 256-dim features at 1/8
+# resolution.  These modules reproduce that structure leaf-for-leaf so a
+# real checkpoint's `fnet.svt.*` / `cnet.svt.*` tensors map mechanically
+# (runtime/convert.py):
+#
+#   svt.patch_embeds.{i}.proj|norm     -> patch_embeds_{i}/proj|norm
+#   svt.pos_block.{i}.proj.0           -> pos_block_{i}/proj_0
+#   svt.blocks.{i}.{j}.norm1|norm2     -> blocks_{i}_{j}/norm1|norm2
+#   svt.blocks.{i}.{j}.attn.{qkv,q,kv,proj,sr,norm}
+#                                      -> blocks_{i}_{j}/attn/...
+#   svt.blocks.{i}.{j}.mlp.fc1|fc2     -> blocks_{i}_{j}/mlp/fc1|fc2
+#
+# twins_svt_large stage hyperparams (timm): embed_dims (128, 256),
+# depths (2, 2), heads (4, 8), sr_ratios (8, 4), window 7, mlp ratio 4.
+# Blocks alternate LSA (even j, ws=7) / GSA (odd j); the conditional
+# positional encoding (PosConv) applies after block 0 of each stage.
 
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=self.patch_size,
-            dtype=self.dtype,
-            name="proj",
-        )(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        return x
 
-
-class LocalAttention(nn.Module):
-    """Locally-grouped self-attention (LSA): windowed MHSA."""
+class LocallyGroupedAttn(nn.Module):
+    """LSA: windowed MHSA with a FUSED qkv projection (torch layout)."""
 
     dim: int
     num_heads: int
-    window: int = 7
+    ws: int = 7
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        ws = self.window
-        pad_h = (ws - h % ws) % ws
-        pad_w = (ws - w % ws) % ws
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        hp, wp = h + pad_h, w + pad_w
+        ws = self.ws
+        hd = c // self.num_heads
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        nh, nw = hp // ws, wp // ws
 
-        # [B, nh, ws, nw, ws, C] -> [B*nh*nw, ws*ws, C]
-        x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+        xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nh * nw, ws * ws, c)
 
-        x = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn"
-        )(x, x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xw)
+        qkv = qkv.reshape(-1, ws * ws, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [g, n, h, d]
+        attn = jnp.einsum(
+            "gnhd,gmhd->ghnm", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("ghnm,gmhd->gnhd", attn, v).reshape(-1, ws * ws, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
-        x = x.reshape(b, hp // ws, wp // ws, ws, ws, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
-        return x[:, :h, :w]
+        out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, hp, wp, c)
+        return out[:, :h, :w]
 
 
-class GlobalAttention(nn.Module):
-    """Global sub-sampled attention (GSA): queries at full res, keys/values
-    from a strided subsample."""
+class GlobalSubSampleAttn(nn.Module):
+    """GSA: full-res queries, keys/values from an sr-strided subsample."""
 
     dim: int
     num_heads: int
-    sr_ratio: int = 4
+    sr_ratio: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        q = x.reshape(b, h * w, c)
+        hd = c // self.num_heads
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x.reshape(b, h * w, c))
+        q = q.reshape(b, h * w, self.num_heads, hd)
+
+        kv_in = x
         if self.sr_ratio > 1:
-            kv = nn.Conv(
+            kv_in = nn.Conv(
                 c,
                 (self.sr_ratio, self.sr_ratio),
                 strides=self.sr_ratio,
                 dtype=self.dtype,
                 name="sr",
             )(x)
-            kv = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(kv)
-            kv = kv.reshape(b, -1, c)
-        else:
-            kv = q
-        out = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn"
-        )(q, kv)
+            kv_in = nn.LayerNorm(dtype=self.dtype, name="norm")(kv_in)
+        m = kv_in.shape[1] * kv_in.shape[2]
+        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(kv_in.reshape(b, m, c))
+        kv = kv.reshape(b, m, 2, self.num_heads, hd)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return out.reshape(b, h, w, c)
 
 
-class Mlp(nn.Module):
+class TwinsMlp(nn.Module):
     dim: int
     ratio: int = 4
     dtype: Dtype = jnp.float32
@@ -178,61 +195,94 @@ class Mlp(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.dim * self.ratio, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
-        return x
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class TwinsBlock(nn.Module):
     dim: int
     num_heads: int
     use_global: bool
-    window: int = 7
-    sr_ratio: int = 4
+    ws: int = 7
+    sr_ratio: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         if self.use_global:
-            y = GlobalAttention(self.dim, self.num_heads, self.sr_ratio, self.dtype, name="gsa")(y)
+            y = GlobalSubSampleAttn(
+                self.dim, self.num_heads, self.sr_ratio, self.dtype, name="attn"
+            )(y)
         else:
-            y = LocalAttention(self.dim, self.num_heads, self.window, self.dtype, name="lsa")(y)
+            y = LocallyGroupedAttn(
+                self.dim, self.num_heads, self.ws, self.dtype, name="attn"
+            )(y)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(self.dim, 4, self.dtype, name="mlp")(y)
+        y = TwinsMlp(self.dim, 4, self.dtype, name="mlp")(y)
         return x + y
 
 
-class TwinsSVT(nn.Module):
-    """Twins-SVT-style encoder, stages to 1/8 resolution.
+class PosConv(nn.Module):
+    """Conditional positional encoding: residual depthwise 3x3
+    (timm PosConv with stride 1)."""
 
-    Stage dims follow Twins-SVT-Large's first three stages
-    (128/256/512) projected to `output_dim`."""
-
-    output_dim: int = 256
-    dims: Sequence[int] = (128, 256)
-    depths: Sequence[int] = (2, 2)
-    heads: Sequence[int] = (4, 8)
+    dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # Stage 0 embeds at stride 4 (1/4 res), stage 1 at stride 2 (1/8).
-        for stage, (dim, depth, nh) in enumerate(zip(self.dims, self.depths, self.heads)):
-            x = PatchEmbed(dim, 4 if stage == 0 else 2, self.dtype, name=f"patch{stage}")(x)
-            for i in range(depth):
+        y = nn.Conv(
+            self.dim,
+            (3, 3),
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="proj_0",
+        )(x)
+        return x + y
+
+
+class TwinsSVT(nn.Module):
+    """twins_svt_large truncated to its first two stages: [B, H, W, 3] ->
+    [B, H/8, W/8, 256] (the 1/8-res 256-dim features VideoFlow's fnet and
+    cnet consume; checkpoint stages 2-3 are unused/ignored)."""
+
+    dims: Sequence[int] = (128, 256)
+    depths: Sequence[int] = (2, 2)
+    heads: Sequence[int] = (4, 8)
+    sr_ratios: Sequence[int] = (8, 4)
+    ws: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (dim, depth, nh, sr) in enumerate(
+            zip(self.dims, self.depths, self.heads, self.sr_ratios)
+        ):
+            patch = 4 if i == 0 else 2
+            x = nn.Conv(
+                dim, (patch, patch), strides=patch, dtype=self.dtype,
+                name=f"patch_embeds_{i}/proj",
+            )(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"patch_embeds_{i}/norm")(x)
+            for j in range(depth):
                 x = TwinsBlock(
                     dim,
                     nh,
-                    use_global=(i % 2 == 1),
+                    use_global=(j % 2 == 1),
+                    ws=self.ws,
+                    sr_ratio=sr,
                     dtype=self.dtype,
-                    name=f"stage{stage}_block{i}",
+                    name=f"blocks_{i}_{j}",
                 )(x)
-        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="proj_out")(x)
+                if j == 0:
+                    x = PosConv(dim, self.dtype, name=f"pos_block_{i}")(x)
         return x
 
 
 def make_encoder(kind: str, output_dim: int, norm: str = "instance", dtype=jnp.float32) -> nn.Module:
     if kind == "twins":
-        return TwinsSVT(output_dim=output_dim, dtype=dtype)
+        # output_dim is fixed at 256 by the architecture (stage-2 width).
+        assert output_dim == 256, "twins_svt_large 2-stage output is 256-dim"
+        return TwinsSVT(dtype=dtype)
     return BasicEncoder(output_dim=output_dim, norm=norm, dtype=dtype)
