@@ -1,4 +1,8 @@
-"""Pallas lookup kernel: interpret-mode equality with the XLA lookup."""
+"""Pallas lookup kernel: interpret-mode equality with the XLA lookup.
+
+The kernel implements clamp-border, y-major order (the round-1 contract);
+the product lookups since moved to upstream zeros-border x-major order, so
+comparisons pin border="clamp" and transpose the kernel output."""
 
 import jax
 import jax.numpy as jnp
@@ -14,7 +18,7 @@ def test_pyramid_lookup_pallas_matches_xla(rng):
     f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
     flow = rng.normal(0, 6, size=(2, 16, 24, 2)).astype(np.float32)
     cp = CorrPyramid.build(jnp.asarray(f1), jnp.asarray(f2), 3)
-    want = np.asarray(cp.lookup(jnp.asarray(flow), 3))
+    want = np.asarray(cp.lookup(jnp.asarray(flow), 3, border="clamp"))
     got = np.asarray(
         pyramid_lookup_pallas(cp.pyramid, 16, 24, jnp.asarray(flow), 3, interpret=True)
     )
@@ -28,7 +32,7 @@ def test_pyramid_lookup_pallas_extreme_borders(rng):
     flow[:, :4] = 100.0
     flow[:, 4:] = -100.0
     cp = CorrPyramid.build(jnp.asarray(f), jnp.asarray(f), 2)
-    want = np.asarray(cp.lookup(jnp.asarray(flow), 2))
+    want = np.asarray(cp.lookup(jnp.asarray(flow), 2, border="clamp"))
     got = np.asarray(
         pyramid_lookup_pallas(cp.pyramid, 8, 16, jnp.asarray(flow), 2, interpret=True)
     )

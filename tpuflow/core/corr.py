@@ -177,7 +177,9 @@ class CorrPyramid:
         pyramid = [lvl.reshape(b * h * w, -1) for lvl in stacked]
         return cls(pyramid, (b, h, w), (h2, w2))
 
-    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
         """Default lookup: sample (2r+1)^2 windows around flow-displaced
         positions at every pyramid level (patch-take formulation; the
         measured-stable choice — see lookup_rows/lookup_span for the
@@ -191,9 +193,17 @@ class CorrPyramid:
         ONE (2r+2)^2 patch gather per query yields all (2r+1)^2 bilinear
         samples via static shifts — ~3x fewer gathered elements and 4x
         fewer gather ops than sampling each position independently.
-        Border behavior: patch coordinates clamp to the plane, so samples
-        fully outside the plane replicate the edge texel (RAFT's zero-pad
-        differs there; those cost values are uninformative either way)."""
+
+        Upstream-parity contracts (RAFT CorrBlock as consumed by
+        videoflow_core.py:91-94):
+        - border='zeros' (default): out-of-plane bilinear corners
+          contribute 0, like grid_sample(padding_mode='zeros');
+          border='clamp' replicates the edge texel instead.
+        - output channel p enumerates the window with the FIRST axis
+          applied to x: position(p) = (x0 + d[p // S], y0 + d[p % S]) with
+          d = [-r..r], S = 2r+1 — upstream's meshgrid(dy, dx) quirk adds
+          the first meshgrid axis to the x coordinate, and the motion
+          encoder's weights are laid out for that order."""
         b, h, w, _ = flow.shape
         r = radius
         side = 2 * r + 2  # patch side: window + 1 for the bilinear corner
@@ -220,13 +230,19 @@ class CorrPyramid:
             # take_along_axis — each query reads its OWN [lh*lw] row, and
             # no global reshape(-1) (which forced a full-volume layout
             # copy inside the refinement loop).
-            xx = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)  # [N, side]
-            yy = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)
+            xraw = px[:, None] + jj[None, :]  # [N, side]
+            yraw = py[:, None] + jj[None, :]
+            xx = jnp.clip(xraw, 0, lw - 1)
+            yy = jnp.clip(yraw, 0, lh - 1)
             idx = yy[:, :, None] * lw + xx[:, None, :]  # [N, side, side]
             patch = jnp.take_along_axis(
                 volume, idx.reshape(n, side * side), axis=1
             )
             patch = patch.reshape(n, side, side).astype(jnp.float32)
+            if border == "zeros":
+                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
+                patch = patch * vr[:, :, None] * vc[:, None, :]
 
             v00 = patch[:, :-1, :-1]
             v01 = patch[:, :-1, 1:]
@@ -237,12 +253,16 @@ class CorrPyramid:
                 + v01 * wx * (1 - wy)
                 + v10 * (1 - wx) * wy
                 + v11 * wx * wy
-            )  # [N, 2r+1, 2r+1]
+            )  # [N, 2r+1(y), 2r+1(x)]
+            # Upstream channel order: first window axis -> x offset.
+            sampled = sampled.swapaxes(1, 2)
             out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
 
-    def lookup_span(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup_span(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
         """EXPERIMENTAL: per-(query, patch-row) SPAN gathers.
 
         Crashed the v5e TPU worker via the remote-compile harness (nested
@@ -300,6 +320,12 @@ class CorrPyramid:
             patch = jnp.einsum(
                 "nrs,ncs->nrc", spans, col_sel, preferred_element_type=jnp.float32
             )  # [N, side(rows), side(cols)]
+            if border == "zeros":
+                yraw = py[:, None] + jj[None, :]
+                xraw = px[:, None] + jj[None, :]
+                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
+                patch = patch * vr[:, :, None] * vc[:, None, :]
 
             v00 = patch[:, :-1, :-1]
             v01 = patch[:, :-1, 1:]
@@ -311,10 +337,13 @@ class CorrPyramid:
                 + v10 * (1 - wx) * wy
                 + v11 * wx * wy
             )
+            sampled = sampled.swapaxes(1, 2)  # upstream x-major order
             out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
-    def lookup_rows(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup_rows(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
         """Row-band variant: lookup_take reformulated for the TPU memory system: scalar gathers
         on TPU run near one element per cycle, so the patch-take version
         moves ~60M scattered elements per refinement iteration at scalar
@@ -372,6 +401,12 @@ class CorrPyramid:
             patch = jnp.einsum(
                 "nsw,ncw->nsc", rows, col_sel, preferred_element_type=jnp.float32
             )  # [N, side(rows), side(cols)]
+            if border == "zeros":
+                yraw = py[:, None] + jj[None, :]
+                xraw = px[:, None] + jj[None, :]
+                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
+                patch = patch * vr[:, :, None] * vc[:, None, :]
 
             v00 = patch[:, :-1, :-1]
             v01 = patch[:, :-1, 1:]
@@ -383,6 +418,7 @@ class CorrPyramid:
                 + v10 * (1 - wx) * wy
                 + v11 * wx * wy
             )
+            sampled = sampled.swapaxes(1, 2)  # upstream x-major order
             out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
@@ -456,9 +492,13 @@ class DenseCorrPyramid:
             pyramid.append(vol.reshape(vol.shape[0], nh, g * lw))
         return cls(pyramid, (b, h, w), (h2, w2))
 
-    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
         """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32, numerics identical to
-        CorrPyramid.lookup (tests enforce equality)."""
+        CorrPyramid.lookup (tests enforce equality): border='zeros'
+        zero-pad + upstream x-major window channel order (see
+        CorrPyramid.lookup docstring)."""
         b, h, w, _ = flow.shape
         r = radius
         side = 2 * r + 2
@@ -483,8 +523,10 @@ class DenseCorrPyramid:
             px = fx0.astype(jnp.int32) - r
             py = fy0.astype(jnp.int32) - r
 
-            rr = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)  # [N, side]
-            cc = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)
+            yraw = py[:, None] + jj[None, :]  # [N, side]
+            xraw = px[:, None] + jj[None, :]
+            rr = jnp.clip(yraw, 0, lh - 1)
+            cc = jnp.clip(xraw, 0, lw - 1)
             hk = rr // g   # storage row (group) per patch row
             pk = rr % g    # phase within the group
 
@@ -507,6 +549,10 @@ class DenseCorrPyramid:
                 C,
                 preferred_element_type=jnp.float32,
             )  # [N, side(rows), side(cols)]
+            if border == "zeros":
+                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
+                patch = patch * vr[:, :, None] * vc[:, None, :]
 
             v00 = patch[:, :-1, :-1]
             v01 = patch[:, :-1, 1:]
@@ -518,6 +564,7 @@ class DenseCorrPyramid:
                 + v10 * (1 - wx) * wy
                 + v11 * wx * wy
             )
+            sampled = sampled.swapaxes(1, 2)  # upstream x-major order
             out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
         return jnp.concatenate(out, axis=-1)
 
@@ -597,13 +644,19 @@ class OnTheFlyCorr:
             pyr.append(_avg_pool_features(pyr[-1]))
         return cls(fmap1, pyr)
 
-    def lookup(self, flow: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
         """[B, H, W, 2] flow -> [B, H, W, L*(2r+1)^2] correlation features,
-        numerically matching CorrPyramid.lookup."""
+        numerically matching CorrPyramid.lookup (zero-pad border, upstream
+        x-major window channel order: position(p) = (x0 + d[p // S],
+        y0 + d[p % S]))."""
         b, h, w, _ = flow.shape
         r = radius
         d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        dxg, dyg = jnp.meshgrid(d, d, indexing="xy")
+        # x takes the FIRST window axis (upstream meshgrid(dy, dx) quirk —
+        # see CorrPyramid.lookup docstring).
+        dxg, dyg = jnp.meshgrid(d, d, indexing="ij")
         dx = dxg.reshape(-1)
         dy = dyg.reshape(-1)
         p = dx.shape[0]
@@ -635,18 +688,24 @@ class OnTheFlyCorr:
             # [B, HW, P, C] gather instead of four.
             bidx = jnp.arange(b)[:, None, None]
             corr = jnp.zeros((b, h * w, p), jnp.float32)
-            for yi, xi, wgt in (
-                (y0i, x0i, (1 - wx) * (1 - wy)),
-                (y0i, x1i, wx * (1 - wy)),
-                (y1i, x0i, (1 - wx) * wy),
-                (y1i, x1i, wx * wy),
+            for yu, xu, yi, xi, wgt in (
+                (y0u, x0u, y0i, x0i, (1 - wx) * (1 - wy)),
+                (y0u, x0u + 1, y0i, x1i, wx * (1 - wy)),
+                (y0u + 1, x0u, y1i, x0i, (1 - wx) * wy),
+                (y0u + 1, x0u + 1, y1i, x1i, wx * wy),
             ):
+                if border == "zeros":
+                    # grid_sample zero-pad: an out-of-plane corner
+                    # contributes nothing.
+                    wgt = wgt * (
+                        (yu >= 0) & (yu < lh) & (xu >= 0) & (xu < lw)
+                    ).astype(wgt.dtype)
                 v = f2l[bidx, yi, xi]  # [B, HW, P, C]
                 # bf16 inputs, f32 accumulation: native MXU shape.
-                d = jnp.einsum(
+                dot = jnp.einsum(
                     "bnc,bnpc->bnp", f1, v, preferred_element_type=jnp.float32
                 )
-                corr = corr + wgt * d
+                corr = corr + wgt * dot
             out.append((corr * self.scale).reshape(b, h, w, p))
         return jnp.concatenate(out, axis=-1)
 

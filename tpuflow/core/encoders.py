@@ -26,6 +26,11 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _gelu(x):
+    """Exact (erf) GELU — torch F.gelu default; flax defaults to tanh-approx."""
+    return nn.gelu(x, approximate=False)
+
+
 class ResidualBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -171,7 +176,7 @@ class GlobalSubSampleAttn(nn.Module):
                 dtype=self.dtype,
                 name="sr",
             )(x)
-            kv_in = nn.LayerNorm(dtype=self.dtype, name="norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(kv_in)
         m = kv_in.shape[1] * kv_in.shape[2]
         kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(kv_in.reshape(b, m, c))
         kv = kv.reshape(b, m, 2, self.num_heads, hd)
@@ -194,7 +199,7 @@ class TwinsMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.dim * self.ratio, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = _gelu(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -208,7 +213,7 @@ class TwinsBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.use_global:
             y = GlobalSubSampleAttn(
                 self.dim, self.num_heads, self.sr_ratio, self.dtype, name="attn"
@@ -218,9 +223,28 @@ class TwinsBlock(nn.Module):
                 self.dim, self.num_heads, self.ws, self.dtype, name="attn"
             )(y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = TwinsMlp(self.dim, 4, self.dtype, name="mlp")(y)
         return x + y
+
+
+class TwinsPatchEmbed(nn.Module):
+    """Strided-conv patch embedding + LayerNorm (timm PatchEmbed)."""
+
+    dim: int
+    patch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.dim,
+            (self.patch, self.patch),
+            strides=self.patch,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class PosConv(nn.Module):
@@ -260,11 +284,7 @@ class TwinsSVT(nn.Module):
             zip(self.dims, self.depths, self.heads, self.sr_ratios)
         ):
             patch = 4 if i == 0 else 2
-            x = nn.Conv(
-                dim, (patch, patch), strides=patch, dtype=self.dtype,
-                name=f"patch_embeds_{i}/proj",
-            )(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"patch_embeds_{i}/norm")(x)
+            x = TwinsPatchEmbed(dim, patch, self.dtype, name=f"patch_embeds_{i}")(x)
             for j in range(depth):
                 x = TwinsBlock(
                     dim,
@@ -280,9 +300,15 @@ class TwinsSVT(nn.Module):
         return x
 
 
-def make_encoder(kind: str, output_dim: int, norm: str = "instance", dtype=jnp.float32) -> nn.Module:
+def make_encoder(
+    kind: str,
+    output_dim: int,
+    norm: str = "instance",
+    dtype=jnp.float32,
+    name: Optional[str] = None,
+) -> nn.Module:
     if kind == "twins":
         # output_dim is fixed at 256 by the architecture (stage-2 width).
         assert output_dim == 256, "twins_svt_large 2-stage output is 256-dim"
-        return TwinsSVT(dtype=dtype)
-    return BasicEncoder(output_dim=output_dim, norm=norm, dtype=dtype)
+        return TwinsSVT(dtype=dtype, name=name)
+    return BasicEncoder(output_dim=output_dim, norm=norm, dtype=dtype, name=name)

@@ -72,16 +72,15 @@ class Aggregate(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, fmap):
-        b, h, w, _ = fmap.shape
+        b, h, w, c = fmap.shape
         hw = h * w
-        v = nn.Conv(
-            self.dim_head, (1, 1), use_bias=False, dtype=self.dtype, name="to_v"
-        )(fmap)
+        d = q.shape[-1]  # attention head dim (context_dim upstream: 128)
+        v = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="to_v")(fmap)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
 
-        qf = q.reshape(b, hw, self.dim_head)
-        kf = k.reshape(b, hw, self.dim_head)
-        vf = v.reshape(b, hw, self.dim_head)
+        qf = q.reshape(b, hw, d)
+        kf = k.reshape(b, hw, d)
+        vf = v.reshape(b, hw, d)
 
         chunk = _pick_chunk(hw)
         nchunk = hw // chunk
@@ -102,9 +101,12 @@ class Aggregate(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
 
-            qcs = qb.reshape(nchunk, chunk, self.dim_head)
-            return jax.lax.map(one_chunk, qcs).reshape(hw, self.dim_head)
+            qcs = qb.reshape(nchunk, chunk, d)
+            return jax.lax.map(one_chunk, qcs).reshape(hw, d)
 
         out = jax.lax.map(one_batch, (qf, kf, vf))  # [b, hw, d]
-        out = out.reshape(b, h, w, self.dim_head).astype(fmap.dtype)
+        out = out.reshape(b, h, w, d).astype(fmap.dtype)
+        if d != c:
+            # Upstream adds a 1x1 projection when dim != inner_dim.
+            out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="project")(out)
         return fmap + gamma.astype(fmap.dtype) * out

@@ -1,23 +1,30 @@
 """MemFlowNet — streaming optical flow with a motion-memory buffer, in flax.
 
-Reimplemented TPU-first from the MemFlow paper (arXiv:2404.04808 via
-PAPERS.md).  The reference drives the upstream net through an isolated
-subprocess that rebuilds the model and discards memory every frame
+Upstream-faithful rework (MemFlow CVPR 2024, arXiv:2404.04808 via
+PAPERS.md): shares the real VideoFlow component stack — twins_svt_large
+encoders (fnet/cnet), GMA attention (att), SKFlow update block
+(update_block: sk.SKUpdateBlockMem) — plus MemFlow's memory:
+
+- keys are projections of the CONTEXT features, values are projections
+  of the final MOTION features (paper §3.2),
+- ONE memory readout per frame (query = this frame's context key),
+  cross-attending over all (time x space) memory tokens, optionally with
+  2D rotary position encoding (`use_rope`, the reference gates add_pe on
+  cfg.rope at memflow_inference_isolated.py:105),
+- the readout joins the motion encoder input of every GRU iteration.
+
+The reference drives the upstream net through an isolated subprocess that
+rebuilds the model and discards memory every frame
 (memflow_inference_isolated.py:92-126) — the single biggest anti-pattern
-SURVEY §3.3 calls out.  Here the memory buffer is an explicit fixed-capacity
-pytree designed to be a `lax.scan` carry, so streaming video runs as one
-compiled scan with O(1) state:
+SURVEY §3.3 calls out.  Here the memory buffer is an explicit
+fixed-capacity pytree designed to be a `lax.scan` carry, so streaming
+video runs as one compiled scan with O(1) state.  Static shapes
+throughout: the buffer has fixed capacity with a validity mask, so `scan`
+compiles once regardless of video length.
 
-- Two-frame SKFlow-style backbone (features + context + correlation
-  pyramid + GRU refinement).
-- At each iteration, the current motion feature cross-attends (per spatial
-  position, over the time axis of the buffer) to the memory of past motion
-  features; the aggregated readout joins the GRU input.
-- After the final iteration the frame's (key, value) motion summary is
-  written into the ring buffer.
-
-Static shapes throughout: the buffer has fixed capacity with a validity
-mask, so `scan` compiles once regardless of video length.
+TPU notes: the memory cross-attention is chunked over query rows
+(flash-style, exact softmax) so the [hw, cap*hw] score matrix never
+materializes at full-frame sizes.
 """
 
 from __future__ import annotations
@@ -27,16 +34,19 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple  # noqa: F401
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .update import MaskHead, UpdateBlock, upsample_flow_convex
+from .gma import Attention, _pick_chunk
+from .sk import SKUpdateBlockMem
+from .update import upsample_flow_convex
 
 Dtype = Any
 
 
 class MemoryState(NamedTuple):
-    """Ring buffer of per-position motion keys/values for past frames.
+    """Ring buffer of per-position keys (context) / values (motion).
 
     keys:   [B, cap, h*w, dk]
     values: [B, cap, h*w, dv]
@@ -74,49 +84,98 @@ def memory_write(mem: MemoryState, key: jnp.ndarray, value: jnp.ndarray) -> Memo
     return MemoryState(keys=keys, values=values, valid=valid, ptr=mem.ptr + 1)
 
 
+def rope_2d(t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """2D rotary position embedding over a flattened [.., h*w, d] token
+    axis: the first d/2 channels rotate with the x coordinate, the second
+    with y (standard RoPE pairs within each half)."""
+    d = t.shape[-1]
+    dh = d // 2
+    assert dh % 2 == 0, "rope_2d needs dim divisible by 4"
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs = jnp.asarray(xs.reshape(-1), jnp.float32)  # [hw]
+    ys = jnp.asarray(ys.reshape(-1), jnp.float32)
+
+    def rot(x, pos):
+        # x: [.., hw, dh]; rotate channel pairs by pos * freq.
+        half = dh // 2
+        freqs = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
+        ang = pos[:, None] * freqs[None, :]  # [hw, half]
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        x1, x2 = x[..., :half], x[..., half:]
+        return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+    return jnp.concatenate(
+        [rot(t[..., :dh], xs), rot(t[..., dh:], ys)], axis=-1
+    ).astype(t.dtype)
+
+
 class MemoryReader(nn.Module):
-    """Per-position cross-attention over the memory's time axis.
+    """Cross-attention over all (time x space) memory tokens, chunked
+    over query rows (exact softmax, flash-style transient).
 
-    query from the current motion feature: [B, hw, dk]
-    keys/values: [B, cap, hw, dk/dv]; softmax over cap with validity mask.
-    An empty memory returns zeros (first frame)."""
+    query: this frame's context key [B, h, w, dk]
+    Returns a 128-dim readout; zeros when the memory is empty (frame 0).
+    """
 
-    key_dim: int = 64
     value_dim: int = 128
+    use_rope: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, motion: jnp.ndarray, mem: MemoryState):
-        # motion: [B, h, w, C]
-        b, h, w, c = motion.shape
-        q = nn.Dense(self.key_dim, dtype=self.dtype, name="q_proj")(motion)
-        q = q.reshape(b, h * w, self.key_dim)
+    def __call__(self, query: jnp.ndarray, mem: MemoryState):
+        b, h, w, dk = query.shape
+        hw = h * w
+        cap = mem.valid.shape[1]
+        dv = mem.values.shape[-1]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, jnp.float32))
 
-        # scores over time: [B, cap, hw]
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.key_dim, jnp.float32))
-        scores = jnp.einsum(
-            "bnd,bknd->bkn", q.astype(jnp.float32), mem.keys.astype(jnp.float32)
-        ) * scale
-        neg = jnp.asarray(-1e9, jnp.float32)
-        scores = jnp.where(mem.valid[:, :, None] > 0, scores, neg)
-        attn = jax.nn.softmax(scores, axis=1)
-        # Zero out readout entirely when no slot is valid.
-        any_valid = (jnp.sum(mem.valid, axis=1, keepdims=True) > 0)[..., None]
-        attn = jnp.where(any_valid, attn, 0.0)
+        q = query.reshape(b, hw, dk).astype(jnp.float32) * scale
+        k = mem.keys.astype(jnp.float32)  # [B, cap, hw, dk]
+        if self.use_rope:
+            q = rope_2d(q, h, w)
+            k = rope_2d(k, h, w)
+        k = k.reshape(b, cap * hw, dk)
+        v = mem.values.reshape(b, cap * hw, dv).astype(jnp.float32)
 
-        read = jnp.einsum("bkn,bknd->bnd", attn, mem.values.astype(jnp.float32))
-        read = read.reshape(b, h, w, self.value_dim).astype(self.dtype)
+        # Invalid slots mask out; fully-empty memory reads zeros.
+        tok_valid = jnp.repeat(mem.valid, hw, axis=1)  # [B, cap*hw]
+        any_valid = (jnp.sum(mem.valid, axis=1) > 0)[:, None, None]  # [B,1,1]
+
+        chunk = _pick_chunk(hw)
+        nchunk = hw // chunk
+
+        def one_batch(args):
+            qb, kb, vb, tv = args
+
+            def one_chunk(qc):
+                sim = jnp.einsum(
+                    "id,jd->ij", qc, kb, preferred_element_type=jnp.float32
+                )
+                sim = jnp.where(tv[None, :] > 0, sim, -1e9)
+                attn = jax.nn.softmax(sim, axis=-1)
+                return jnp.einsum(
+                    "ij,jd->id", attn, vb, preferred_element_type=jnp.float32
+                )
+
+            return jax.lax.map(
+                one_chunk, qb.reshape(nchunk, chunk, dk)
+            ).reshape(hw, dv)
+
+        read = jax.lax.map(one_batch, (q, k, v, tok_valid))  # [B, hw, dv]
+        read = jnp.where(any_valid, read, 0.0)
+        read = read.reshape(b, h, w, dv).astype(self.dtype)
         return nn.Conv(128, (1, 1), dtype=self.dtype, name="out_proj")(read)
 
 
 class _MemCarry(NamedTuple):
     """Scan carry for the MemFlow refinement loop — per-iteration state
-    only; correlation pyramids / context / memory are broadcast
-    (loop-invariant) inputs so XLA never double-buffers them."""
+    only; correlation pyramids / context / attention / memory readout are
+    broadcast (loop-invariant) inputs so XLA never double-buffers them."""
 
     flow: jnp.ndarray
-    h: jnp.ndarray
+    net: jnp.ndarray
     motion: jnp.ndarray
+    mask: jnp.ndarray
 
 
 def _corr_state(corr) -> Tuple:
@@ -137,30 +196,29 @@ def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
 
 
 class _MemIteration(nn.Module):
-    """One scanned refinement iteration: memory read + GRU update."""
+    """One scanned refinement iteration: SK update with the (loop
+    invariant) memory readout."""
 
     hidden_dim: int
     corr_radius: int
     corr_impl: str
-    key_dim: int
-    value_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry: "_MemCarry", consts):
-        inp, corr_state, memory = consts
+        inp, q, k, corr_state, mem_read = consts
         b, h8, w8 = carry.motion.shape[:3]
         corr = _corr_from_state(corr_state, self.corr_impl, (b, h8, w8))
-        reader = MemoryReader(
-            self.key_dim, self.value_dim, dtype=self.dtype, name="memory_reader"
-        )
-        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
 
-        mem_read = reader(carry.motion, memory)
         cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
-        h, motion, delta = update(carry.h, inp, cf, carry.flow, mem_read)
+        update = SKUpdateBlockMem(
+            hidden_dim=self.hidden_dim, dtype=self.dtype, name="update_block"
+        )
+        net, motion, mask, delta = update(
+            carry.net, inp, cf, carry.flow, q, k, mem_read
+        )
         flow = carry.flow + delta.astype(jnp.float32)
-        return carry._replace(flow=flow, h=h, motion=motion), None
+        return carry._replace(flow=flow, net=net, motion=motion, mask=mask), None
 
 
 class MemFlowNet(nn.Module):
@@ -169,7 +227,7 @@ class MemFlowNet(nn.Module):
     `__call__(frame_pair, memory, flow_init=None)` where
       frame_pair: [B, 2, H, W, 3] RGB in [0, 1]
       memory: MemoryState (use `init_memory` for frame 0)
-    returns (flow [B, H, W, 2], new_memory).
+    returns (flow [B, H, W, 2], new_memory, flow_low [B, H/8, W/8, 2]).
     """
 
     corr_levels: int = 4
@@ -182,6 +240,7 @@ class MemFlowNet(nn.Module):
     value_dim: int = 128
     memory_capacity: int = 8
     encoder: str = "cnn"
+    use_rope: bool = False
     corr_dtype: Any = jnp.bfloat16
     corr_impl: str = "auto"
     scan_iters: bool = True   # False = Python unroll (needed for AD)
@@ -201,13 +260,21 @@ class MemFlowNet(nn.Module):
         # (memflow_inference_isolated.py:80-85).
         x = 2.0 * frame_pair - 1.0
 
-        fnet = make_encoder(self.encoder, self.feature_dim, "instance", self.dtype)
-        feats = fnet(x.reshape(b * 2, h, w, 3)).reshape(b, 2, h8, w8, -1)
+        feats = make_encoder(
+            self.encoder, self.feature_dim, "instance", self.dtype, name="fnet"
+        )(x.reshape(b * 2, h, w, 3)).reshape(b, 2, h8, w8, -1)
 
-        cnet = make_encoder(self.encoder, self.hidden_dim + self.context_dim, "batch", self.dtype)
-        ctx = cnet(x[:, 0])
-        hidden = jnp.tanh(ctx[..., : self.hidden_dim])
+        ctx = make_encoder(
+            self.encoder, self.hidden_dim + self.context_dim, "batch",
+            self.dtype, name="cnet",
+        )(x[:, 0])
+        net = jnp.tanh(ctx[..., : self.hidden_dim])
         inp = nn.relu(ctx[..., self.hidden_dim :])
+
+        q, k = Attention(
+            dim=self.context_dim, dim_head=self.context_dim, dtype=self.dtype,
+            name="att",
+        )(inp)
 
         corr = make_corr(
             feats[:, 0].astype(self.corr_dtype),
@@ -216,8 +283,12 @@ class MemFlowNet(nn.Module):
             self.corr_impl,
         )
 
-        k_proj = nn.Dense(self.key_dim, dtype=self.dtype, name="k_proj")
-        v_proj = nn.Dense(self.value_dim, dtype=self.dtype, name="v_proj")
+        # Memory: this frame's context key doubles as the readout query
+        # (MemFlow stores context keys / motion values, §3.2).
+        qk = nn.Conv(self.key_dim, (1, 1), dtype=self.dtype, name="qk_proj")(inp)
+        mem_read = MemoryReader(
+            self.value_dim, self.use_rope, dtype=self.dtype, name="memory_reader"
+        )(qk, memory)
 
         flow = (
             jnp.zeros((b, h8, w8, 2), jnp.float32)
@@ -229,8 +300,6 @@ class MemFlowNet(nn.Module):
             hidden_dim=self.hidden_dim,
             corr_radius=self.corr_radius,
             corr_impl=type(corr).__name__,
-            key_dim=self.key_dim,
-            value_dim=self.value_dim,
             dtype=self.dtype,
             name="iteration",
         )
@@ -246,27 +315,30 @@ class MemFlowNet(nn.Module):
             step = _MemIteration(**iter_kwargs)
         carry = _MemCarry(
             flow=flow,
-            h=hidden,
+            net=net,
             motion=jnp.zeros((b, h8, w8, 128), self.dtype),
+            mask=jnp.zeros((b, h8, w8, 64 * 9), self.dtype),
         )
-        consts = (inp, _corr_state(corr), memory)
+        consts = (inp, q, k, _corr_state(corr), mem_read)
         if self.scan_iters:
             carry, _ = step(carry, consts)
         else:
             for _ in range(self.decoder_depth):
                 carry, _ = step(carry, consts)
-        flow, hcur, motion = carry.flow, carry.h, carry.motion
-        mask = MaskHead(dtype=self.dtype, name="mask_head")(hcur)
 
-        # Memory write: per-position key/value summaries of the final motion.
-        key = k_proj(motion).reshape(b, h8 * w8, self.key_dim)
-        value = v_proj(motion).reshape(b, h8 * w8, self.value_dim)
+        # Memory write: context key + per-position value summary of the
+        # final motion feature.
+        value = nn.Conv(self.value_dim, (1, 1), dtype=self.dtype, name="v_proj")(
+            carry.motion
+        )
         new_memory = memory_write(
-            memory, key.astype(memory.keys.dtype), value.astype(memory.values.dtype)
+            memory,
+            qk.reshape(b, h8 * w8, self.key_dim).astype(memory.keys.dtype),
+            value.reshape(b, h8 * w8, self.value_dim).astype(memory.values.dtype),
         )
 
-        flow_up = upsample_flow_convex(flow, mask.astype(jnp.float32))
-        return flow_up, new_memory, flow  # full-res flow, memory, 1/8-res flow
+        flow_up = upsample_flow_convex(carry.flow, carry.mask.astype(jnp.float32))
+        return flow_up, new_memory, carry.flow  # full-res, memory, 1/8-res
 
     def empty_memory(self, batch: int, h: int, w: int) -> MemoryState:
         return init_memory(

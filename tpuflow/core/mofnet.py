@@ -1,25 +1,33 @@
 """MOFNet / BOFNet — multi-frame optical flow (VideoFlow family) in flax.
 
-Reimplemented TPU-first from the papers (VideoFlow ICCV 2023 via PAPERS.md;
-RAFT arXiv:2003.12039), not translated: the reference loads these nets from
-a pinned submodule (videoflow_core.py:28,101) and consumes the contract
+Upstream-faithful reimplementation (VideoFlow ICCV 2023, SKFlow NeurIPS
+2022, GMA ICCV 2021 — PAPERS.md): the reference loads these nets from a
+pinned submodule (videoflow_core.py:28,101) and consumes the contract
   model([B, T, 3, H, W] in [0,1]) -> flow predictions, indexed
   [0, mid] -> center-frame forward flow [2, H, W]   (videoflow_core.py:188-195)
 
-Design (per SURVEY §2.2):
-- Feature encoder over all T frames (one batched pass: frames fold into the
-  batch axis — MXU-friendly, no Python loop over T).
-- For each of the N = T-2 interior frames, all-pairs correlation pyramids
-  against both neighbors (forward + backward), built as batched einsums.
-- `decoder_depth` iterations of a shared SKFlow/GRU update block jointly
-  refining forward+backward flows of all interior frames; each iteration
-  fuses each frame's motion feature with its temporal neighbors' (the
-  multi-frame cue that distinguishes VideoFlow from RAFT).
-- Convex 8x upsampling of the final flows.
+Architecture (matches the MOF_*.pth checkpoint layout leaf-for-leaf so
+runtime/convert.py can map real weights):
+- fnet / cnet: twins_svt_large truncated to 2 stages (encoders.TwinsSVT)
+  or the RAFT BasicEncoder (cfg.cnet/fnet 'basicencoder').
+- att: GMA attention over the context features, computed once per window.
+- update_block: SKUpdateBlock6_Deep_nopoolres_AllDecoder2 (sk.py) — one
+  JOINT bidirectional refinement step: shared hidden state, 4-channel
+  delta flow, 48-channel motion hidden state shifted across interior
+  frames each iteration (the multi-frame motion propagation), GMA
+  aggregation of motion features.
+- convex 8x upsample with the update block's own 2x(64*9)-channel mask.
 
-Shapes are NHWC; interior frames ride the batch axis except in the
-temporal-fusion step.  BOFNet is MOFNet with T=3 (one interior frame,
-bi-directional output).
+TPU-first execution (unchanged from round 1):
+- all T frames fold into the batch axis for the encoders,
+- correlation pyramids are batched MXU einsums with a gather-free
+  one-hot-matmul radius lookup (core/corr.py),
+- the refinement loop is a lax.scan whose correlation/context constants
+  are broadcast (not carried — carrying would double-buffer GBs),
+- GMA attention is applied chunked (flash-style) instead of
+  materializing the [HW, HW] matrix (core/gma.py).
+
+Shapes are NHWC.  BOFNet is MOFNet with T=3 (one interior frame).
 """
 
 from __future__ import annotations
@@ -32,47 +40,23 @@ import jax.numpy as jnp
 
 from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .update import MaskHead, UpdateBlock, upsample_flow_convex
+from .gma import Attention
+from .sk import SKUpdateBlockMOF
+from .update import upsample_flow_convex
 
 Dtype = Any
 
 
-class TemporalFusion(nn.Module):
-    """Fuse each interior frame's motion feature with its temporal
-    neighbors' (zero-padded at the window edges): the multi-frame motion
-    propagation of VideoFlow, implemented as a shift+concat+conv along the
-    interior-frame axis — one fused conv instead of cross-frame loops."""
-
-    dim: int = 128
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, motion_fwd, motion_bwd):
-        # motion_*: [B, N, h, w, C]
-        prev_f = jnp.pad(motion_fwd, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
-        next_f = jnp.pad(motion_fwd, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
-        prev_b = jnp.pad(motion_bwd, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
-        next_b = jnp.pad(motion_bwd, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
-        x = jnp.concatenate([motion_fwd, motion_bwd, prev_f, next_f, prev_b, next_b], axis=-1)
-        b, n, h, w, c = x.shape
-        x = x.reshape(b * n, h, w, c)
-        x = nn.relu(nn.Conv(self.dim * 2, (1, 1), dtype=self.dtype, name="fuse1")(x))
-        x = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="fuse2")(x)
-        return x.reshape(b, n, h, w, self.dim)
-
-
 class _MOFCarry(NamedTuple):
     """lax.scan carry for the refinement loop.  Only the per-iteration
-    state lives here — the correlation pyramids and context are broadcast
-    (loop-invariant) inputs; putting them in the carry would make XLA
-    double-buffer gigabytes of cost volume."""
+    state lives here — the correlation pyramids, context and attention
+    q/k are broadcast (loop-invariant) inputs; putting them in the carry
+    would make XLA double-buffer gigabytes of cost volume."""
 
-    flow_fwd: jnp.ndarray
-    flow_bwd: jnp.ndarray
-    h_fwd: jnp.ndarray
-    h_bwd: jnp.ndarray
-    motion_fwd: jnp.ndarray
-    motion_bwd: jnp.ndarray
+    flow: jnp.ndarray                 # [B*N, h, w, 4] fwd ++ bwd (f32)
+    net: jnp.ndarray                  # [B*N, h, w, 128] shared hidden
+    motion_hidden_state: jnp.ndarray  # [B, N, h, w, 48]
+    mask: jnp.ndarray                 # [B*N, h, w, 2*64*9] (last iter's)
 
 
 def _corr_state(corr) -> Tuple:
@@ -96,55 +80,43 @@ def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
 
 
 class _MOFIteration(nn.Module):
-    """One refinement iteration (scanned body): temporal fusion + shared
-    bidirectional SKFlow/GRU update."""
+    """One refinement iteration (scanned body): bidirectional correlation
+    lookup + one joint SK update."""
 
     hidden_dim: int
+    corr_levels: int
     corr_radius: int
     corr_impl: str
+    batch: int  # B (window batch size; N = BN // B interior frames)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry: "_MOFCarry", consts):
-        inp, corr_fwd_state, corr_bwd_state = consts
-        b, n, h8, w8, _c = carry.motion_fwd.shape
-        grid = (b * n, h8, w8)
+        inp, q, k, corr_fwd_state, corr_bwd_state = consts
+        bn, h8, w8, _ = carry.net.shape
+        grid = (bn, h8, w8)
         corr_fwd = _corr_from_state(corr_fwd_state, self.corr_impl, grid)
         corr_bwd = _corr_from_state(corr_bwd_state, self.corr_impl, grid)
 
-        fusion = TemporalFusion(128, dtype=self.dtype, name="temporal_fusion")
-        update = UpdateBlock(self.hidden_dim, use_sk=True, dtype=self.dtype, name="update")
-        # Direction embedding lets the shared update block distinguish
-        # forward from backward passes.
-        dir_embed = self.param(
-            "dir_embed", nn.initializers.normal(0.02), (2, 128), jnp.float32
-        )
+        flow_fwd = carry.flow[..., 0:2]
+        flow_bwd = carry.flow[..., 2:4]
+        cf = corr_fwd.lookup(flow_fwd, self.corr_radius).astype(self.dtype)
+        cb = corr_bwd.lookup(flow_bwd, self.corr_radius).astype(self.dtype)
+        corr = jnp.concatenate([cf, cb], axis=-1)
 
-        fused = fusion(carry.motion_fwd, carry.motion_bwd).reshape(b * n, h8, w8, 128)
-
-        cf = corr_fwd.lookup(carry.flow_fwd, self.corr_radius).astype(self.dtype)
-        h_fwd, m_f, d_f = update(
-            carry.h_fwd, inp, cf, carry.flow_fwd,
-            fused + dir_embed[0].astype(self.dtype),
+        update = SKUpdateBlockMOF(
+            hidden_dim=self.hidden_dim,
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            dtype=self.dtype,
+            name="update_block",
         )
-        flow_fwd = carry.flow_fwd + d_f.astype(jnp.float32)
-
-        cb = corr_bwd.lookup(carry.flow_bwd, self.corr_radius).astype(self.dtype)
-        h_bwd, m_b, d_b = update(
-            carry.h_bwd, inp, cb, carry.flow_bwd,
-            fused + dir_embed[1].astype(self.dtype),
+        net, mhs, mask, delta = update(
+            carry.net, carry.motion_hidden_state, inp, corr, carry.flow, q, k,
+            self.batch,
         )
-        flow_bwd = carry.flow_bwd + d_b.astype(jnp.float32)
-
-        new_carry = carry._replace(
-            flow_fwd=flow_fwd,
-            flow_bwd=flow_bwd,
-            h_fwd=h_fwd,
-            h_bwd=h_bwd,
-            motion_fwd=m_f.reshape(b, n, h8, w8, -1),
-            motion_bwd=m_b.reshape(b, n, h8, w8, -1),
-        )
-        return new_carry, None
+        flow = carry.flow + delta.astype(jnp.float32)
+        return _MOFCarry(flow=flow, net=net, motion_hidden_state=mhs, mask=mask), None
 
 
 class MOFNet(nn.Module):
@@ -180,14 +152,27 @@ class MOFNet(nn.Module):
         x = 2.0 * frames - 1.0
 
         # ---- encoders (all frames / interior frames fold into batch) ----
-        fnet = make_encoder(self.encoder, self.feature_dim, "instance", self.dtype)
-        feats = fnet(x.reshape(b * t, h, w, 3))
+        # Modules carry the upstream MOFNet attribute names (fnet / cnet /
+        # att / update_block, core/Networks/MOFNetStack/network.py) so the
+        # checkpoint state dict maps path-for-path.
+        feats = make_encoder(
+            self.encoder, self.feature_dim, "instance", self.dtype, name="fnet"
+        )(x.reshape(b * t, h, w, 3))
         feats = feats.reshape(b, t, h8, w8, self.feature_dim)
 
-        cnet = make_encoder(self.encoder, self.hidden_dim + self.context_dim, "batch", self.dtype)
-        ctx = cnet(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
-        hidden = jnp.tanh(ctx[..., : self.hidden_dim])
+        ctx = make_encoder(
+            self.encoder, self.hidden_dim + self.context_dim, "batch",
+            self.dtype, name="cnet",
+        )(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
+        net = jnp.tanh(ctx[..., : self.hidden_dim])
         inp = nn.relu(ctx[..., self.hidden_dim :])
+
+        # GMA attention q/k: once per window (upstream computes `att(inp)`
+        # outside the loop too).
+        q, k = Attention(
+            dim=self.context_dim, dim_head=self.context_dim, dtype=self.dtype,
+            name="att",
+        )(inp)
 
         # ---- correlation pyramids: interior frame vs both neighbors ----
         center = feats[:, 1 : t - 1].reshape(b * n, h8, w8, -1)
@@ -207,8 +192,10 @@ class MOFNet(nn.Module):
         # weights, one compiled iteration body, buffers reused) ----
         iter_kwargs = dict(
             hidden_dim=self.hidden_dim,
+            corr_levels=self.corr_levels,
             corr_radius=self.corr_radius,
             corr_impl=type(corr_fwd).__name__,
+            batch=b,
             dtype=self.dtype,
             name="iteration",
         )
@@ -224,27 +211,21 @@ class MOFNet(nn.Module):
             step = _MOFIteration(**iter_kwargs)
 
         carry = _MOFCarry(
-            flow_fwd=jnp.zeros((b * n, h8, w8, 2), jnp.float32),
-            flow_bwd=jnp.zeros((b * n, h8, w8, 2), jnp.float32),
-            h_fwd=hidden,
-            h_bwd=hidden,
-            motion_fwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
-            motion_bwd=jnp.zeros((b, n, h8, w8, 128), self.dtype),
+            flow=jnp.zeros((b * n, h8, w8, 4), jnp.float32),
+            net=net,
+            motion_hidden_state=jnp.zeros((b, n, h8, w8, 48), self.dtype),
+            mask=jnp.zeros((b * n, h8, w8, 2 * 64 * 9), self.dtype),
         )
-        consts = (inp, _corr_state(corr_fwd), _corr_state(corr_bwd))
+        consts = (inp, q, k, _corr_state(corr_fwd), _corr_state(corr_bwd))
         if self.scan_iters:
             carry, _ = step(carry, consts)
         else:
             for _ in range(self.decoder_depth):
                 carry, _ = step(carry, consts)
-        flow_fwd, flow_bwd = carry.flow_fwd, carry.flow_bwd
 
-        mask_head = MaskHead(dtype=self.dtype, name="mask_head")
-        mask_fwd = mask_head(carry.h_fwd)
-        mask_bwd = mask_head(carry.h_bwd)
-
-        up_fwd = upsample_flow_convex(flow_fwd, mask_fwd.astype(jnp.float32))
-        up_bwd = upsample_flow_convex(flow_bwd, mask_bwd.astype(jnp.float32))
+        mask = carry.mask.astype(jnp.float32)
+        up_fwd = upsample_flow_convex(carry.flow[..., 0:2], mask[..., : 64 * 9])
+        up_bwd = upsample_flow_convex(carry.flow[..., 2:4], mask[..., 64 * 9 :])
         return (
             up_fwd.reshape(b, n, h, w, 2),
             up_bwd.reshape(b, n, h, w, 2),
@@ -255,4 +236,5 @@ class BOFNet(MOFNet):
     """Bi-directional 3-frame variant (CLI `--vf-architecture bof`,
     flow_processor.py:1329-1330): identical machinery, T is fixed at 3 by
     the caller so there is exactly one interior frame whose forward and
-    backward flows are returned."""
+    backward flows are returned.  (Upstream BOFNetStack shares this
+    update-block family; its checkpoints map via the same name tables.)"""

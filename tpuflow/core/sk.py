@@ -32,39 +32,44 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _gelu(x):
+    """Exact (erf) GELU — torch F.gelu default; flax defaults to tanh-approx."""
+    return nn.gelu(x, approximate=False)
+
+
 class PCBlock4(nn.Module):
     """`PCBlock4_Deep_nopool_res`: residual 1.5x-FFN -> residual depthwise
     super-kernels (k in k_conv, square, groups=C_in) -> residual pointwise
     -> output FFN.  GELU after every residual add, like upstream."""
 
-    c_in: int
     c_out: int
     k_conv: Sequence[int] = (1, 15)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        mid = int(1.5 * self.c_in)
+        c_in = x.shape[-1]
+        mid = int(1.5 * c_in)
         y = nn.Conv(mid, (1, 1), dtype=self.dtype, name="ffn1_0")(x)
-        y = nn.gelu(y)
-        y = nn.Conv(self.c_in, (1, 1), dtype=self.dtype, name="ffn1_2")(y)
-        x = nn.gelu(x + y)
+        y = _gelu(y)
+        y = nn.Conv(c_in, (1, 1), dtype=self.dtype, name="ffn1_2")(y)
+        x = _gelu(x + y)
 
         for i, k in enumerate(self.k_conv):
             y = nn.Conv(
-                self.c_in,
+                c_in,
                 (k, k),
-                feature_group_count=self.c_in,
+                feature_group_count=c_in,
                 dtype=self.dtype,
                 name=f"conv_list_{i}",
             )(x)
-            x = nn.gelu(x + y)
+            x = _gelu(x + y)
 
-        y = nn.Conv(self.c_in, (1, 1), dtype=self.dtype, name="pw")(x)
-        x = nn.gelu(x + y)
+        y = nn.Conv(c_in, (1, 1), dtype=self.dtype, name="pw")(x)
+        x = _gelu(x + y)
 
         y = nn.Conv(mid, (1, 1), dtype=self.dtype, name="ffn2_0")(x)
-        y = nn.gelu(y)
+        y = _gelu(y)
         return nn.Conv(self.c_out, (1, 1), dtype=self.dtype, name="ffn2_2")(y)
 
 
@@ -96,7 +101,6 @@ class SKMotionEncoderMOF(nn.Module):
         bn, h, w, _ = flow.shape
         n = bn // bs
         hc = self.hidden_ch
-        cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2 * 2
 
         init_hidden = self.param(
             "init_hidden_state",
@@ -116,22 +120,76 @@ class SKMotionEncoderMOF(nn.Module):
         bwd_mhs = jnp.concatenate([zeros, mhs[:, :-1]], axis=1).reshape(bn, h, w, hc)
         cur_mhs = mhs.reshape(bn, h, w, hc)
 
-        cor = nn.gelu(
-            PCBlock4(cor_planes, 256, self.k_conv, self.dtype, name="convc1")(corr)
+        cor = _gelu(
+            PCBlock4(256, self.k_conv, self.dtype, name="convc1")(corr)
         )
-        cor = PCBlock4(256, 192, self.k_conv, self.dtype, name="convc2")(cor)
+        cor = PCBlock4(192, self.k_conv, self.dtype, name="convc2")(cor)
         flo = nn.Conv(128, (1, 1), dtype=self.dtype, name="convf1_")(
             flow.astype(self.dtype)
         )
-        flo = PCBlock4(128, 64, self.k_conv, self.dtype, name="convf2")(flo)
+        flo = PCBlock4(64, self.k_conv, self.dtype, name="convf2")(flo)
 
         cat = jnp.concatenate([cor, flo, fwd_mhs, bwd_mhs, cur_mhs], axis=-1)
-        out = PCBlock4(
-            64 + 192 + 3 * hc, 128 - 4 + hc, self.k_conv, self.dtype, name="conv"
-        )(cat)
+        out = PCBlock4(128 - 4 + hc, self.k_conv, self.dtype, name="conv")(cat)
         motion_feat, new_mhs = out[..., : 128 - 4], out[..., 128 - 4 :]
         motion_feat = jnp.concatenate([motion_feat, flow.astype(self.dtype)], axis=-1)
         return motion_feat, new_mhs.reshape(bs, n, h, w, hc)
+
+
+class SKMotionEncoderMem(nn.Module):
+    """Two-frame SK motion encoder (MemFlow / SKFlow lineage): fuses the
+    single-direction correlation lookup + 2-channel flow + the memory
+    readout into a 128-dim motion feature.  Structure follows
+    `SKMotionEncoder6_Deep_nopool_res` with the AllDecoder2-style 1x1
+    flow stem (convf1_); the memory readout concatenation is MemFlow's
+    addition (arXiv:2404.04808 §3.2)."""
+
+    k_conv: Sequence[int] = (1, 15)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr, mem_read):
+        cor = nn.gelu(
+            PCBlock4(256, self.k_conv, self.dtype, name="convc1")(corr),
+            approximate=False,
+        )
+        cor = PCBlock4(192, self.k_conv, self.dtype, name="convc2")(cor)
+        flo = nn.Conv(128, (1, 1), dtype=self.dtype, name="convf1_")(
+            flow.astype(self.dtype)
+        )
+        flo = PCBlock4(64, self.k_conv, self.dtype, name="convf2")(flo)
+        cat = jnp.concatenate([cor, flo, mem_read], axis=-1)
+        out = PCBlock4(128 - 2, self.k_conv, self.dtype, name="conv")(cat)
+        return jnp.concatenate([out, flow.astype(self.dtype)], axis=-1)
+
+
+class SKUpdateBlockMem(nn.Module):
+    """MemFlow's update block (`SKUpdateBlock6_Deep_nopoolres_AllDecoder2`
+    lineage, 2-frame): motion encoder consuming the once-per-frame memory
+    readout, GMA aggregation, PCBlock "gru", 2-channel flow head,
+    64*9-channel upsample mask."""
+
+    hidden_dim: int = 128
+    k_conv: Sequence[int] = (1, 15)
+    pc_updater_conv: Sequence[int] = (1, 7)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow, q, k, mem_read):
+        from .gma import Aggregate
+
+        motion = SKMotionEncoderMem(self.k_conv, dtype=self.dtype, name="encoder")(
+            flow, corr, mem_read
+        )
+        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(q, k, motion)
+
+        x = jnp.concatenate([net, inp, motion, motion_global], axis=-1)
+        net = PCBlock4(self.hidden_dim, self.pc_updater_conv, self.dtype, name="gru")(x)
+        delta = PCBlock4(2, self.k_conv, self.dtype, name="flow_head")(net)
+
+        m = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype, name="mask_0")(net))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask_2")(m)
+        return net, motion, mask, delta
 
 
 class SKUpdateBlockMOF(nn.Module):
@@ -142,9 +200,9 @@ class SKUpdateBlockMOF(nn.Module):
     delta = PCBlock(net') -> 4 channels                    ("flow_head")
     mask  = .25 * Conv stack(net') -> 2 * 64*9 channels    ("mask")
 
-    `aggregate_fn` applies the precomputed GMA attention to the motion
-    features (gma.Aggregate) — passed in because the attention matrix is
-    built once per window, outside the iteration loop.
+    `q, k` are the GMA attention projections computed once per window
+    (gma.Attention on the context features); the aggregator re-applies
+    them to the motion features every iteration.
     """
 
     hidden_dim: int = 128
@@ -155,7 +213,9 @@ class SKUpdateBlockMOF(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, motion_hidden_state, inp, corr, flow, aggregate_fn, bs: int):
+    def __call__(self, net, motion_hidden_state, inp, corr, flow, q, k, bs: int):
+        from .gma import Aggregate
+
         encoder = SKMotionEncoderMOF(
             self.corr_levels,
             self.corr_radius,
@@ -166,17 +226,13 @@ class SKUpdateBlockMOF(nn.Module):
         motion_features, motion_hidden_state = encoder(
             flow, motion_hidden_state, corr, bs
         )
-        motion_global = aggregate_fn(motion_features)
+        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(
+            q, k, motion_features
+        )
 
         x = jnp.concatenate([net, inp, motion_features, motion_global], axis=-1)
-        net = PCBlock4(
-            128 + self.hidden_dim * 2 + 128,
-            128,
-            self.pc_updater_conv,
-            self.dtype,
-            name="gru",
-        )(x)
-        delta_flow = PCBlock4(128, 4, self.k_conv, self.dtype, name="flow_head")(net)
+        net = PCBlock4(self.hidden_dim, self.pc_updater_conv, self.dtype, name="gru")(x)
+        delta_flow = PCBlock4(4, self.k_conv, self.dtype, name="flow_head")(net)
 
         m = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype, name="mask_0")(net))
         mask = 0.25 * nn.Conv(64 * 9 * 2, (1, 1), dtype=self.dtype, name="mask_2")(m)

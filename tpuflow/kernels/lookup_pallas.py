@@ -194,5 +194,9 @@ def pyramid_lookup_pallas(
             radius,
             interpret=interpret,
         )
+        # Kernel emits y-major window order; the product lookups emit the
+        # upstream x-major order (CorrPyramid.lookup docstring).
+        s = 2 * r + 1
+        sampled = sampled.reshape(n, s, s).swapaxes(1, 2)
         out.append(sampled.reshape(b, h, w, -1))
     return jnp.concatenate(out, axis=-1)

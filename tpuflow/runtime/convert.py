@@ -107,6 +107,52 @@ def default_name_map(torch_key: str) -> Tuple[str, str]:
     return torch_key.replace(".", "/"), "raw"
 
 
+# ---------------------------------------------------------------------------
+# VideoFlow (MOF/BOF) name table
+# ---------------------------------------------------------------------------
+# Upstream checkpoint layout: MOFNet attributes fnet/cnet (twins_svt_large
+# wrapper with an inner `.svt`), att (GMA Attention), update_block
+# (SKUpdateBlock6_Deep_nopoolres_AllDecoder2) — loaded by the reference at
+# videoflow_core.py:101-110 after `module.` stripping.  The flax tree
+# mirrors these names (core/mofnet.py, core/sk.py, core/gma.py,
+# core/encoders.py); what remains is the mechanical dotted->slashed
+# rewrite plus indexed-submodule flattening below.
+
+# Checkpoint tensors that have no counterpart in the inference net, by
+# design (counted separately, not as conversion failures):
+VIDEOFLOW_IGNORE = (
+    r"^(fnet|cnet)\.svt\.(blocks|patch_embeds|pos_block|pos_drops)\.[23]\.",  # twins stages 3-4 (unused: forward stops at layer=2)
+    r"^(fnet|cnet)\.svt\.(head|norm)\.",       # classifier head
+    r"^att\.pos_emb\.",                        # RelPosEmb (position_only=False config: content-only attention)
+    r"\.num_batches_tracked$",
+    r"^update_block\.aggregator\.pos_emb\.",
+)
+
+
+def _rewrite_videoflow_key(k: str) -> str:
+    """Dotted torch module path -> dotted path matching the flax tree."""
+    k = re.sub(r"^(fnet|cnet)\.svt\.", r"\1.", k)
+    k = re.sub(r"\.patch_embeds\.(\d+)\.", r".patch_embeds_\1.", k)
+    k = re.sub(r"\.pos_block\.(\d+)\.proj\.0\.", r".pos_block_\1.proj_0.", k)
+    k = re.sub(r"\.blocks\.(\d+)\.(\d+)\.", r".blocks_\1_\2.", k)
+    k = re.sub(r"\.conv_list\.(\d+)\.", r".conv_list_\1.", k)
+    k = re.sub(r"\.(ffn1|ffn2)\.(\d+)\.", r".\1_\2.", k)
+    k = re.sub(r"\.mask\.(\d+)\.", r".mask_\1.", k)
+    k = re.sub(r"\.layer(\d+)\.(\d+)\.", r".layer\1_\2.", k)  # BasicEncoder
+    # The update block lives inside the scanned iteration module.
+    k = re.sub(r"^update_block\.", "iteration.update_block.", k)
+    return k
+
+
+def videoflow_name_map(torch_key: str) -> Tuple[str, str]:
+    """Name map for MOF/BOF `.pth` state dicts (see module docstring)."""
+    k = _rewrite_videoflow_key(torch_key)
+    if k.endswith(".init_hidden_state"):
+        # Channel-vector learned init: torch channels-second, flax last.
+        return k.replace(".", "/"), "learned_init"
+    return default_name_map(k)
+
+
 def map_state_dict_to_params(
     state_dict: Dict[str, np.ndarray],
     params,
@@ -159,6 +205,16 @@ def map_state_dict_to_params(
                     break
             else:
                 missing.append((tkey, "no kernel/scale leaf"))
+        elif kind == "learned_init":
+            # Channel-vector learned init (all other dims are 1): torch
+            # stores it channels-second (e.g. (1, 1, C, 1, 1)), flax
+            # channels-last — a reshape is the exact mapping.
+            fkey = resolve(path)
+            if fkey is not None and flat[fkey].size == tval.size:
+                new_flat[fkey] = tval.reshape(flat[fkey].shape).astype(flat[fkey].dtype)
+                matched.append(tkey)
+            else:
+                missing.append((tkey, "not found" if fkey is None else "size"))
         else:
             fkey = resolve(f"{path}/{kind}" if kind != "raw" else path)
             if fkey is not None and flat[fkey].shape == tval.shape:
@@ -240,10 +296,25 @@ def load_torch_checkpoint_as_params(path: str, engine, min_match: float = 0.95) 
     Hard-fails when fewer than `min_match` of the checkpoint tensors map
     into the param tree — a low match rate means the model would silently
     run on (mostly) random weights while reporting the checkpoint as
-    loaded."""
+    loaded.  Tensors matching the model family's IGNORE patterns
+    (deliberately unused by inference, e.g. twins stages 3-4) are dropped
+    from the denominator but listed in the report."""
     state_dict = load_torch_state_dict(path)
+    if engine.config.model == "memflow":
+        try:
+            from .convert_memflow import MEMFLOW_IGNORE as ignore
+            from .convert_memflow import memflow_name_map as name_map
+        except ImportError:  # MemFlow table ships separately
+            name_map, ignore = default_name_map, ()
+    else:
+        name_map, ignore = videoflow_name_map, VIDEOFLOW_IGNORE
+    ignored = {k for k in state_dict if any(re.search(p, k) for p in ignore)}
+    state_dict = {k: v for k, v in state_dict.items() if k not in ignored}
     params = engine.init_params()
-    new_params, report = map_state_dict_to_params(state_dict, params)
+    new_params, report = map_state_dict_to_params(state_dict, params, name_map)
+    report["ignored"] = len(ignored)
+    if ignored:
+        print(f"[convert] {len(ignored)} checkpoint tensors unused by inference (by design)")
     rate = report["matched"] / max(1, report["total_torch"])
     print(
         f"[convert] {report['matched']}/{report['total_torch']} checkpoint "

@@ -1,0 +1,35 @@
+"""MemFlow checkpoint name table.
+
+MemFlow (arXiv:2404.04808; loaded by the reference via cfg.restore_ckpt,
+memflow_loader.py:53 / memflow_inference_isolated.py) shares VideoFlow's
+component stack — twins_svt_large fnet/cnet, GMA att, SKFlow update
+block — so the dotted->slashed rewrite is the VideoFlow one
+(convert.videoflow_name_map's `_rewrite_videoflow_key`).
+
+The memory-specific modules (context-key / motion-value projections and
+the readout) are named here by their role (qk_proj / v_proj /
+memory_reader.out_proj); upstream's exact attribute names must be
+confirmed against a live checkpoint with `describe_state_dict` +
+`suggest_mapping` — the strict match-rate gate in
+load_torch_checkpoint_as_params will fail loudly rather than silently
+mis-load until the table is finalized.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from .convert import _rewrite_videoflow_key, default_name_map
+
+MEMFLOW_IGNORE = (
+    r"^(fnet|cnet)\.svt\.(blocks|patch_embeds|pos_block|pos_drops)\.[23]\.",
+    r"^(fnet|cnet)\.svt\.(head|norm)\.",
+    r"^att\.pos_emb\.",
+    r"\.num_batches_tracked$",
+    r"^update_block\.aggregator\.pos_emb\.",
+)
+
+
+def memflow_name_map(torch_key: str) -> Tuple[str, str]:
+    k = _rewrite_videoflow_key(torch_key)
+    return default_name_map(k)

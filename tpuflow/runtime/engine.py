@@ -73,7 +73,9 @@ def build_model(cfg: ModelConfig, encoder: str = "cnn", dtype=None):
         dtype=dtype or default_compute_dtype(),
     )
     if cfg.model == "memflow":
-        return MemFlowNet(memory_capacity=cfg.memory_capacity, **kw)
+        return MemFlowNet(
+            memory_capacity=cfg.memory_capacity, use_rope=cfg.use_rope, **kw
+        )
     if cfg.architecture == "bof":
         return BOFNet(**kw)
     return MOFNet(**kw)
