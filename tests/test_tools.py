@@ -147,3 +147,45 @@ def test_cache_status_states(video_with_cache, tmp_path):
 
     s3 = GuiSettings(input=path, frames=n + 3, use_flow_cache=cache_dir)
     assert cache_status(s3)[0] == "partial"
+
+
+def test_inspector_detail_analysis(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    d = insp.detail_analysis(0, 30, 20, patch=16)
+    assert d["source_patch"].shape == (16, 16, 3)
+    assert d["target_patch"].shape == (16, 16, 3)
+    assert d["corrected_patch"].shape == (16, 16, 3)
+    assert 0.0 <= d["corrected_similarity"] <= 1.0
+    assert d["pixel"] == (30, 20)
+    # The synthetic clip rolls by exactly the cached flow, so the
+    # flow-displaced target patch matches the source patch up to MJPG
+    # compression noise.
+    diff = np.abs(
+        d["source_patch"].astype(np.int16) - d["target_patch"].astype(np.int16)
+    )
+    assert diff.mean() < 8.0, diff.mean()
+
+
+def test_inspector_consistency_check(video_with_cache):
+    # The single-pixel path IS the batched kernel with N=1, so the check
+    # must come back consistent (flow_visualizer.py:940-959 parity).
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    res = insp.consistency_check(0, 30, 20)
+    assert res["consistent"], res
+
+
+def test_inspector_deferred_quality(video_with_cache):
+    path, cache_dir, n = video_with_cache
+    insp = FlowInspector(path, cache_dir, max_frames=n)
+    assert insp.quality_map_cached(0) is None
+    got = {}
+    t = insp.compute_quality_async(0, on_ready=lambda i, q: got.setdefault(i, q))
+    assert t is not None
+    t.join(timeout=120)
+    assert 0 in got and got[0].shape == (48, 64, 3)
+    # Second request is served synchronously from the cache.
+    assert insp.quality_map_cached(0) is not None
+    insp.compute_quality_async(0, on_ready=lambda i, q: got.setdefault("again", q))
+    assert "again" in got

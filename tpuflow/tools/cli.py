@@ -58,7 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-frames", type=int, default=4, help="[tpu] windows batched per device step")
     p.add_argument("--tile-overlap", type=int, default=0, help="[tpu] tile halo overlap in pixels (0 = reference hard paste)")
     p.add_argument("--data-parallel", type=int, default=1, help="[tpu] devices to shard the frame batch over")
-    p.add_argument("--encoder", choices=["cnn", "twins"], default="cnn", help="[tpu] feature encoder backbone")
+    p.add_argument(
+        "--encoder",
+        choices=["cnn", "twins"],
+        default="twins",
+        help="[tpu] feature encoder backbone (twins = upstream checkpoint parity; "
+        "cnn = RAFT BasicEncoder, lighter but not weight-compatible)",
+    )
     p.add_argument(
         "--stride-mode", choices=["center", "interior"], default="center",
         help="[tpu] 'center' = reference parity (one middle-frame flow per window); "

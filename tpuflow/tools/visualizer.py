@@ -224,6 +224,109 @@ class FlowInspector:
             print(f"Warning: {len(missing)} corrected flow files missing after batch")
         return results
 
+    def detail_analysis(self, idx: int, x: int, y: int, patch: int = 32) -> Dict:
+        """Detail-analysis view data (flow_visualizer.py:2101-2349): the
+        source patch around (x, y), the flow-displaced target patch, the
+        corrected-candidate target patch, and their similarities —
+        everything the overlay renders, display-independent."""
+        res = self.analyze_pixel(idx, x, y)
+        f1, f2 = self.frames[idx], self.frames[idx + 1]
+        fx, fy = self.sample_flow(idx, x, y)
+
+        def crop(img, cx, cy):
+            h, w = img.shape[:2]
+            half = patch // 2
+            x0, y0 = int(round(cx)) - half, int(round(cy)) - half
+            sx0, sy0 = max(0, x0), max(0, y0)
+            sx1, sy1 = min(w, x0 + patch), min(h, y0 + patch)
+            out = np.zeros((patch, patch, 3), img.dtype)
+            out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+            return out
+
+        coarse = res["coarse"]
+        best = res["fine"] if res["fine"] is not None else coarse
+        return {
+            "pixel": (x, y),
+            "flow": (fx, fy),
+            "source_patch": crop(f1, x, y),
+            # Flow maps frame idx -> idx+1; the TAA/correction convention
+            # samples the PREVIOUS frame at p - flow, so the current flow
+            # target in frame idx+1 of pixel p is p - flow (ops.py TAA).
+            "target_patch": crop(f2, x - fx, y - fy),
+            "corrected_patch": crop(f2, best["target"][0], best["target"][1]),
+            "current_similarity": float(self.pixel_quality(idx, x, y)),
+            "coarse": coarse,
+            "fine": res["fine"],
+            "corrected_flow": tuple(np.asarray(best["flow"], np.float64)),
+            "corrected_similarity": float(best["similarity"]),
+        }
+
+    def consistency_check(self, idx: int, x: int, y: int) -> Dict:
+        """Single-pixel vs batch 'logic inconsistency' check
+        (flow_visualizer.py:940-959): the single-pixel analysis and the
+        batched correction kernel must propose the same target for the
+        same input; a mismatch indicates a kernel bug."""
+        import jax.numpy as jnp
+
+        single = self.analyze_pixel(idx, x, y)["coarse"]
+        f1, f2 = self.frames[idx], self.frames[idx + 1]
+        lod = self.lod_cache.get((idx, 4))
+        flow = self.load_flow(idx)
+        if lod is None:
+            lod = flow
+        lh, lw = lod.shape[:2]
+        lx = min(int(x * lw / self.width), lw - 1)
+        ly = min(int(y * lh / self.height), lh - 1)
+        lod_vec = lod[ly, lx] / np.array([lw / self.width, lh / self.height])
+        batch = corr_mod.coarse_correction_batch(
+            jnp.asarray(f1), jnp.asarray(f2),
+            jnp.asarray([[x, y], [x, y]], jnp.int32),  # batched (N=2, duplicated)
+            jnp.asarray([lod_vec, lod_vec], jnp.float32),
+        )
+        batch = {k: np.asarray(v)[0] for k, v in batch.items()}
+        dt = np.abs(np.asarray(single["target"]) - np.asarray(batch["target"]))
+        ds = abs(float(single["similarity"]) - float(batch["similarity"]))
+        consistent = bool((dt <= 1e-3).all() and ds <= 1e-3)
+        return {
+            "consistent": consistent,
+            "single": single,
+            "batch": batch,
+            "target_delta": dt,
+            "similarity_delta": ds,
+        }
+
+    # -- deferred quality maps (flow_visualizer.py:601-658) ------------------
+    def quality_map_cached(self, idx: int):
+        """Return the cached quality map, or None and schedule a
+        background compute (the reference's worker-thread + queue-poll
+        design, minus the polling: `on_ready` fires from the worker)."""
+        if not hasattr(self, "_qmap_cache"):
+            self._qmap_cache: Dict[int, np.ndarray] = {}
+        return self._qmap_cache.get(idx)
+
+    def compute_quality_async(self, idx: int, on_ready=None):
+        """Compute quality_map(idx) in a daemon thread, cache it, then
+        call `on_ready(idx, map)` (from the worker thread — Tk callers
+        must re-enter the main loop, see FlowVisualizerApp._on_quality)."""
+        import threading
+
+        if not hasattr(self, "_qmap_cache"):
+            self._qmap_cache = {}
+        if idx in self._qmap_cache:
+            if on_ready:
+                on_ready(idx, self._qmap_cache[idx])
+            return None
+
+        def work():
+            qm = self.quality_map(idx)
+            self._qmap_cache[idx] = qm
+            if on_ready:
+                on_ready(idx, qm)
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        return t
+
     def cache_statistics(self) -> Dict:
         """LOD cache statistics report (flow_processor.py:229-408 /
         flow_visualizer.py:421-600)."""
@@ -307,7 +410,9 @@ class FlowVisualizerApp:
         self.frame_idx = 0
         self.zoom = 1.0
         self.pan = [0, 0]
+        self._drag_origin = None
         self.map_mode = "quality"
+        self.detail: Optional[Dict] = None  # detail-analysis overlay data
         self._build_ui()
 
     def _build_ui(self):
@@ -334,14 +439,29 @@ class FlowVisualizerApp:
         self.status = tk.Label(self.root, text="", anchor="w")
         self.status.pack(fill="x")
 
+        tk.Button(btns, text="check consistency", command=self._check_consistency).pack(side="left")
+
         self.canvas = tk.Canvas(self.root, width=3 * 420, height=360, bg="black")
         self.canvas.pack(fill="both", expand=True)
         self.canvas.bind("<Motion>", self._on_hover)
         self.canvas.bind("<Button-1>", self._on_click)
+        self.canvas.bind("<Double-Button-1>", self._on_double_click)
         self.canvas.bind("<MouseWheel>", self._on_wheel)
         self.canvas.bind("<Button-4>", lambda e: self._zoom_by(1.1))
         self.canvas.bind("<Button-5>", lambda e: self._zoom_by(1 / 1.1))
+        # Pan: drag with the right mouse button (flow_visualizer.py pan).
+        self.canvas.bind("<ButtonPress-3>", self._pan_start)
+        self.canvas.bind("<B3-Motion>", self._pan_move)
         self._render()
+
+    # -- pan ----------------------------------------------------------------
+    def _pan_start(self, e):
+        self._drag_origin = (e.x - self.pan[0], e.y - self.pan[1])
+
+    def _pan_move(self, e):
+        if self._drag_origin is not None:
+            self.pan = [e.x - self._drag_origin[0], e.y - self._drag_origin[1]]
+            self._render()
 
     def _zoom_by(self, f):
         self.zoom = min(5.0, max(0.1, self.zoom * f))
@@ -362,10 +482,28 @@ class FlowVisualizerApp:
     def _panel_images(self):
         ins = self.inspector
         i = self.frame_idx
-        third = (
-            ins.quality_map(i) if self.map_mode == "quality" else ins.turbulence_map(i)
-        )
+        if self.map_mode == "quality":
+            # Deferred quality compute (flow_visualizer.py:601-658): show a
+            # placeholder immediately; the worker re-renders when ready.
+            third = ins.quality_map_cached(i)
+            if third is None:
+                third = np.zeros_like(ins.frames[i])
+                ins.compute_quality_async(i, on_ready=self._on_quality_ready)
+        else:
+            third = ins.turbulence_map(i)
         return [ins.frames[i], ins.frames[i + 1], third]
+
+    def _on_quality_ready(self, idx, _qmap):
+        # Worker thread -> Tk main loop.
+        self.root.after(0, lambda: idx == self.frame_idx and self._render())
+
+    @staticmethod
+    def _quality_color(q: float) -> str:
+        if q >= corr_mod.GOOD_QUALITY_THRESHOLD:
+            return "#00dd00"
+        if q >= 0.5:
+            return "#dddd00"
+        return "#dd2200"
 
     def _render(self):
         from PIL import Image, ImageTk
@@ -382,6 +520,46 @@ class FlowVisualizerApp:
             self.canvas.create_image(
                 k * (w + 4) + self.pan[0], self.pan[1], image=photo, anchor="nw"
             )
+        self._render_detail_overlay()
+
+    def _render_detail_overlay(self):
+        """Detail-analysis overlay (flow_visualizer.py:2101-2349): source /
+        current-target / corrected-target patches magnified in a corner
+        panel with similarity annotations."""
+        if self.detail is None:
+            return
+        from PIL import Image, ImageTk
+
+        d = self.detail
+        mag, pad = 4, 6
+        x0, y0 = 8, 8
+        labels = (
+            ("source", d["source_patch"], None),
+            ("current", d["target_patch"], d["current_similarity"]),
+            ("corrected", d["corrected_patch"], d["corrected_similarity"]),
+        )
+        ps = d["source_patch"].shape[0] * mag
+        self.canvas.create_rectangle(
+            x0 - 4, y0 - 4, x0 + 3 * (ps + pad) + 4, y0 + ps + 36,
+            fill="#222222", outline="#888888",
+        )
+        for k, (label, patch, sim) in enumerate(labels):
+            pil = Image.fromarray(patch).resize((ps, ps), Image.NEAREST)
+            photo = ImageTk.PhotoImage(pil)
+            self._photo_refs.append(photo)
+            px = x0 + k * (ps + pad)
+            self.canvas.create_image(px, y0, image=photo, anchor="nw")
+            text = label if sim is None else f"{label} {sim:.3f}"
+            color = "#ffffff" if sim is None else self._quality_color(sim)
+            self.canvas.create_text(
+                px + ps // 2, y0 + ps + 14, text=text, fill=color
+            )
+        fx, fy = d["corrected_flow"]
+        self.canvas.create_text(
+            x0 + 1.5 * (ps + pad), y0 + ps + 30,
+            text=f"pixel {d['pixel']} corrected flow ({fx:+.2f},{fy:+.2f})",
+            fill="#cccccc",
+        )
 
     def _canvas_to_pixel(self, ex, ey):
         w = int(420 * self.zoom)
@@ -398,6 +576,28 @@ class FlowVisualizerApp:
             self.status.config(
                 text=f"({x},{y}) flow=({fx:+.2f},{fy:+.2f}) quality={q:.3f}"
             )
+            self._draw_hover_arrow(x, y, fx, fy, q)
+
+    def _draw_hover_arrow(self, x, y, fx, fy, q):
+        """Source->target arrow on the frame-N panel, colored by quality
+        (flow_visualizer.py:1621-1737).  Target = source - flow (backward
+        warp convention, tools/correction.py)."""
+        self.canvas.delete("hover_arrow")
+        w = int(420 * self.zoom)
+        scale = w / self.inspector.width
+        sx = x * scale + self.pan[0]
+        sy = y * scale + self.pan[1]
+        tx = (x - fx) * scale + self.pan[0]
+        ty = (y - fy) * scale + self.pan[1]
+        color = self._quality_color(q)
+        self.canvas.create_line(
+            sx, sy, tx, ty, fill=color, width=2, arrow="last", tags="hover_arrow"
+        )
+        # Same arrow on the frame-N+1 panel at the target location.
+        self.canvas.create_line(
+            sx + (w + 4), sy, tx + (w + 4), ty,
+            fill=color, width=1, arrow="last", tags="hover_arrow", dash=(3, 2),
+        )
 
     def _on_click(self, e):
         panel, x, y = self._canvas_to_pixel(e.x, e.y)
@@ -409,6 +609,26 @@ class FlowVisualizerApp:
                 f = res["fine"]
                 msg += f" | fine: flow=({f['flow'][0]:+.2f},{f['flow'][1]:+.2f}) sim={f['similarity']:.3f}"
             self.status.config(text=msg)
+
+    def _on_double_click(self, e):
+        """Toggle the detail-analysis overlay at the clicked pixel."""
+        panel, x, y = self._canvas_to_pixel(e.x, e.y)
+        if self.detail is not None:
+            self.detail = None
+        elif 0 <= x < self.inspector.width and 0 <= y < self.inspector.height:
+            self.detail = self.inspector.detail_analysis(self.frame_idx, x, y)
+        self._render()
+
+    def _check_consistency(self):
+        """Single-vs-batch correction consistency (flow_visualizer.py:940-959)
+        at the frame center."""
+        x, y = self.inspector.width // 2, self.inspector.height // 2
+        res = self.inspector.consistency_check(self.frame_idx, x, y)
+        verdict = "OK" if res["consistent"] else "INCONSISTENT"
+        self.status.config(
+            text=f"single-vs-batch at ({x},{y}): {verdict} "
+            f"(Δtarget={res['target_delta'].max():.4f}, Δsim={res['similarity_delta']:.4f})"
+        )
 
     def _correct_current(self):
         self.inspector.correct_range(self.frame_idx, self.frame_idx + 1)
