@@ -139,13 +139,16 @@ def test_dense_lookup_matches_lookup_bf16():
 
 
 def test_choose_group_layouts():
-    from tpuflow.core.corr import choose_group
+    from tpuflow.core.corr import aligned_group_dims, choose_group
 
-    # 160-wide plane rows: grouping must reach a low-padding layout.
+    # 160-wide plane rows: grouping must reach a low-padding ALIGNED
+    # layout (rows mult 8, lanes mult 128 — the measured v5e padding
+    # model) while keeping the per-iteration band width g*lw bounded.
     g = choose_group(160, 160, jnp.bfloat16)
-    nh, gw = -(-160 // g), g * 160
-    padded = -(-nh // 16) * 16 * (-(-gw // 128) * 128)
-    assert padded <= 160 * 160 * 1.25
+    assert g * 160 <= 512  # band-width cap (loop-intermediate size)
+    nh_a, gw_a = aligned_group_dims(160, 160, g)
+    assert nh_a % 8 == 0 and gw_a % 128 == 0
+    assert nh_a * gw_a <= 160 * 160 * 1.25
     assert choose_group(1, 128, jnp.float32) >= 1  # degenerate plane
 
 

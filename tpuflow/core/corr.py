@@ -424,21 +424,30 @@ class CorrPyramid:
 
 
 def choose_group(lh: int, lw: int, dtype=jnp.bfloat16) -> int:
-    """Row-group size g for the dense-lookup volume layout [N, ceil(lh/g),
-    g*lw]: minimize the TPU-tiled (sublane x lane) footprint.  Grouping g
-    consecutive plane rows into one storage row is a free row-major
-    reshape and makes the minor dim approach a 128 multiple (a bare
-    [N, lh, lw] with lw=160 pads 1.6x; [N, 80, 320] pads 1.2x)."""
-    sub = 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+    """Row-group size g for the dense-lookup volume layout
+    [N, ceil(lh/g), g*lw] (stored tile-ALIGNED, see DenseCorrPyramid.build):
+    minimize the aligned (sublane x lane) footprint — sublanes round to a
+    multiple of 8, lanes to a multiple of 128 (measured from XLA HBM
+    dumps on v5e, T(8,128)(2,1)) — subject to g*lw <= 512 so the
+    [N, side, g*lw] band intermediates inside the refinement loop stay
+    small (big groups make the volume compact but blow up per-iteration
+    traffic)."""
     best_g, best_size = 1, None
-    for g in (1, 2, 4, 8, 16, 32):
-        if g > 1 and g >= 2 * lh:
+    for g in range(1, min(65, 2 * lh)):
+        if g * lw > 512 and g > 1:
             break
         nh = -(-lh // g)
-        size = -(-nh // sub) * sub * (-(-(g * lw) // 128) * 128)
+        size = -(-nh // 8) * 8 * (-(-(g * lw) // 128) * 128)
         if best_size is None or size < best_size:
             best_g, best_size = g, size
     return best_g
+
+
+def aligned_group_dims(lh: int, lw: int, g: int) -> Tuple[int, int]:
+    """Tile-aligned storage dims for a grouped level: rows to a multiple
+    of 8, lanes to a multiple of 128."""
+    nh = -(-lh // g)
+    return -(-nh // 8) * 8, -(-(g * lw) // 128) * 128
 
 
 class DenseCorrPyramid:
@@ -476,20 +485,70 @@ class DenseCorrPyramid:
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
-        """Same volume build as CorrPyramid (per-element lax.map bounds the
-        f32 einsum transient), then regroup each flat level."""
-        flat = CorrPyramid.build(fmap1, fmap2, num_levels)
-        b, h, w = flat.b, flat.h, flat.w
-        h2, w2 = flat.h2, flat.w2
-        pyramid = []
-        for lvl, vol in enumerate(flat.pyramid):
-            lh, lw = pyramid_level_dims(h2, w2, lvl)
-            g = choose_group(lh, lw, vol.dtype)
+        """Volume build in query chunks, each written DIRECTLY into the
+        tile-aligned grouped layout.
+
+        Two constraints shape this code (both measured on v5e, see the
+        MOFNet docstring):
+        - a lax.map-stacked volume gets an exotic XLA layout whose
+          relayout to the lookup's layout costs more HBM than the chip
+          has, so levels are built by plain dots + layout-preserving
+          reshapes/pads only;
+        - the full unaligned volume must never coexist with its aligned
+          copy (that chain held ~11 GB of temps), so each query chunk's
+          dot output is padded into the aligned [N, nh_a, gw_a] form
+          immediately and the unaligned chunk is dropped.
+        Aligned shapes (rows mult 8, lanes mult 128, explicit zeros) have
+        a single possible layout, so the encode/refine jit boundary moves
+        these arrays with zero copies; the lookup's row/phase masks keep
+        the alignment zeros inert."""
+        b, h, w, c = fmap1.shape
+        h2, w2 = fmap2.shape[1], fmap2.shape[2]
+        scale = 1.0 / float(np.sqrt(c))
+        dt = fmap1.dtype
+
+        def align_level(x, lh, lw):
+            """[Nc, lh, lw] plane chunk -> aligned [Nc, nh_a, gw_a]."""
+            nc = x.shape[0]
+            g = choose_group(lh, lw, dt)
             nh = -(-lh // g)
-            pad = nh * g * lw - lh * lw
-            if pad:
-                vol = jnp.pad(vol, ((0, 0), (0, pad)))
-            pyramid.append(vol.reshape(vol.shape[0], nh, g * lw))
+            nh_a, gw_a = aligned_group_dims(lh, lw, g)
+            if nh * g != lh:
+                x = jnp.pad(x, ((0, 0), (0, nh * g - lh), (0, 0)))
+            x = x.reshape(nc, nh, g * lw)
+            if (nh_a, gw_a) != (nh, g * lw):
+                x = jnp.pad(x, ((0, 0), (0, nh_a - nh), (0, gw_a - g * lw)))
+            return x
+
+        def pool(x):
+            nc, lh, lw = x.shape
+            x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
+            return x.reshape(nc, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
+
+        rows = max(1, min(h * w, int(5e8 / max(1, 4 * h2 * w2))))
+        lvl0_parts, lvl1_parts = [], []
+        for bi in range(b):
+            for i in range(-(-(h * w) // rows)):
+                blk = jnp.einsum(
+                    "nc,mc->nm",
+                    fmap1.reshape(b, h * w, c)[bi, i * rows : (i + 1) * rows],
+                    fmap2.reshape(b, h2 * w2, c)[bi],
+                    preferred_element_type=jnp.float32,
+                )
+                blk = (blk * scale).astype(dt).reshape(-1, h2, w2)
+                lvl0_parts.append(align_level(blk, h2, w2))
+                if num_levels > 1:
+                    lvl1_parts.append(pool(blk))
+        pyramid = [
+            lvl0_parts[0] if len(lvl0_parts) == 1 else jnp.concatenate(lvl0_parts)
+        ]
+        if num_levels > 1:
+            x = lvl1_parts[0] if len(lvl1_parts) == 1 else jnp.concatenate(lvl1_parts)
+            for lvl in range(1, num_levels):
+                lh, lw = pyramid_level_dims(h2, w2, lvl)
+                pyramid.append(align_level(x, lh, lw))
+                if lvl + 1 < num_levels:
+                    x = pool(x)
         return cls(pyramid, (b, h, w), (h2, w2))
 
     def lookup(
@@ -512,8 +571,14 @@ class DenseCorrPyramid:
         out = []
         for lvl, volume in enumerate(self.pyramid):
             lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
-            nh, gw = volume.shape[1], volume.shape[2]
-            g = gw // lw
+            gw = volume.shape[2]
+            # g is a pure function of the level dims (the stored gw is
+            # tile-aligned, so gw // lw would be wrong for small levels);
+            # nh is the ALIGNED row count — padded rows are never selected
+            # (hk < ceil(lh/g)) and padded lanes are killed by the phase
+            # mask, so alignment zeros stay inert.
+            g = choose_group(lh, lw, volume.dtype)
+            nh = volume.shape[1]
             cx = base_x / (2.0**lvl)
             cy = base_y / (2.0**lvl)
             fx0 = jnp.floor(cx)
@@ -531,6 +596,13 @@ class DenseCorrPyramid:
             pk = rr % g    # phase within the group
 
             # Row-group select on the MXU: one-hot [side, nh] x [nh, gw].
+            # Streams the volume at full HBM bandwidth (measured: 12-iter
+            # full-pyramid lookup in 45 ms/direction at 1280-tile shapes)
+            # PROVIDED the volume argument already has the layout the dot
+            # consumes — the engine compiles the refine jit with AUTO
+            # input layouts and relayouts once at the boundary, because a
+            # mismatched volume gets copied per-use under remat
+            # compression (~8x on the loop; MOFNet docstring).
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, side, nh), 2)
             R = (hk[:, :, None] == row_iota).astype(volume.dtype)
             bands = jnp.einsum(

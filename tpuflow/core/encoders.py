@@ -27,8 +27,10 @@ Dtype = Any
 
 
 def _gelu(x):
-    """Exact (erf) GELU — torch F.gelu default; flax defaults to tanh-approx."""
-    return nn.gelu(x, approximate=False)
+    """GELU matching torch F.gelu (exact erf) in float32 — the parity/test
+    dtype — and tanh-approx in bf16 compute (error below bf16 rounding;
+    see core/sk.py:_gelu)."""
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 class ResidualBlock(nn.Module):

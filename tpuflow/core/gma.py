@@ -60,51 +60,83 @@ class Attention(nn.Module):
         return q, k
 
 
+def materialize_attention(q, k, out_dtype=jnp.bfloat16):
+    """softmax(q kᵀ) materialized ONCE per window: [B, h, w, d] x2 ->
+    [B, hw, hw] in `out_dtype`.
+
+    q/k are loop-invariant across the refinement iterations (upstream
+    computes `att(context)` once, MOFNetStack network.py), so paying
+    HBM for the probabilities converts every Aggregate application from
+    two thin matmuls + softmax into ONE deep-K matmul — measured ~3x on
+    the iteration loop.  Softmax runs over f32 row chunks (exact); bf16
+    storage of probabilities in [0,1] adds noise below the volume's own
+    bf16 storage (corr.py).  Use only when b*hw*hw fits the HBM budget
+    (MOFNet.attn_hw_threshold gates it; the chunked path in Aggregate
+    remains for full-frame grids)."""
+    b, h, w, d = q.shape
+    hw = h * w
+    qf = q.reshape(b, hw, d)
+    kf = k.reshape(b, hw, d)
+    chunk = _pick_chunk(hw)
+
+    def one_chunk(qc):  # [b, chunk, d]
+        sim = jnp.einsum("bid,bjd->bij", qc, kf, preferred_element_type=jnp.float32)
+        return jax.nn.softmax(sim, axis=-1).astype(out_dtype)
+
+    qcs = jnp.moveaxis(qf.reshape(b, hw // chunk, chunk, d), 1, 0)
+    attn = jax.lax.map(one_chunk, qcs)  # [nchunk, b, chunk, hw]
+    return jnp.moveaxis(attn, 0, 1).reshape(b, hw, hw)
+
+
 class Aggregate(nn.Module):
     """Apply the (q, k) attention to motion features:
     out = fmap + gamma * softmax(q kᵀ) v,  v = to_v(fmap).
 
-    Chunked over query rows: exact softmax, O(chunk * HW) transient."""
+    With `attn` (precomputed by materialize_attention): one deep-K matmul.
+    Without: chunked exact softmax recompute, O(chunk * HW) transient —
+    the path for grids whose [hw, hw] probabilities would blow HBM."""
 
     dim: int = 128
     dim_head: int = 128
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, fmap):
+    def __call__(self, q, k, fmap, attn=None):
         b, h, w, c = fmap.shape
         hw = h * w
         d = q.shape[-1]  # attention head dim (context_dim upstream: 128)
         v = nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype, name="to_v")(fmap)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
 
-        qf = q.reshape(b, hw, d)
-        kf = k.reshape(b, hw, d)
         vf = v.reshape(b, hw, d)
 
-        chunk = _pick_chunk(hw)
-        nchunk = hw // chunk
-
-        def one_batch(args):
-            qb, kb, vb = args  # [hw, d], [hw, d], [hw, d]
+        if attn is not None:
+            out = jnp.einsum(
+                "bij,bjd->bid", attn, vf.astype(attn.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            qf = q.reshape(b, hw, d)
+            kf = k.reshape(b, hw, d)
+            chunk = _pick_chunk(hw)
+            nchunk = hw // chunk
 
             def one_chunk(qc):
-                # qc: [chunk, d] -> attn row-block [chunk, hw] (f32) -> out.
+                # qc: [b, chunk, d] — all batch elements per step.
                 sim = jnp.einsum(
-                    "id,jd->ij", qc, kb, preferred_element_type=jnp.float32
+                    "bid,bjd->bij", qc, kf, preferred_element_type=jnp.float32
                 )
-                attn = jax.nn.softmax(sim, axis=-1)
+                probs = jax.nn.softmax(sim, axis=-1)
                 return jnp.einsum(
-                    "ij,jd->id",
-                    attn.astype(vb.dtype),
-                    vb,
+                    "bij,bjd->bid",
+                    probs.astype(vf.dtype),
+                    vf,
                     preferred_element_type=jnp.float32,
                 )
 
-            qcs = qb.reshape(nchunk, chunk, d)
-            return jax.lax.map(one_chunk, qcs).reshape(hw, d)
-
-        out = jax.lax.map(one_batch, (qf, kf, vf))  # [b, hw, d]
+            qcs = jnp.moveaxis(qf.reshape(b, nchunk, chunk, d), 1, 0)
+            out = jax.lax.map(one_chunk, qcs)  # [nchunk, b, chunk, d]
+            out = jnp.moveaxis(out, 0, 1).reshape(b, hw, d)
         out = out.reshape(b, h, w, d).astype(fmap.dtype)
         if d != c:
             # Upstream adds a 1x1 projection when dim != inner_dim.

@@ -38,7 +38,7 @@ import numpy as np
 
 from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .gma import Attention, _pick_chunk
+from .gma import Attention, _pick_chunk, materialize_attention
 from .sk import SKUpdateBlockMem
 from .update import upsample_flow_convex
 
@@ -206,7 +206,7 @@ class _MemIteration(nn.Module):
 
     @nn.compact
     def __call__(self, carry: "_MemCarry", consts):
-        inp, q, k, corr_state, mem_read = consts
+        inp, q, k, attn, corr_state, mem_read = consts
         b, h8, w8 = carry.motion.shape[:3]
         corr = _corr_from_state(corr_state, self.corr_impl, (b, h8, w8))
 
@@ -215,7 +215,7 @@ class _MemIteration(nn.Module):
             hidden_dim=self.hidden_dim, dtype=self.dtype, name="update_block"
         )
         net, motion, mask, delta = update(
-            carry.net, inp, cf, carry.flow, q, k, mem_read
+            carry.net, inp, cf, carry.flow, q, k, mem_read, attn
         )
         flow = carry.flow + delta.astype(jnp.float32)
         return carry._replace(flow=flow, net=net, motion=motion, mask=mask), None
@@ -275,6 +275,10 @@ class MemFlowNet(nn.Module):
             dim=self.context_dim, dim_head=self.context_dim, dtype=self.dtype,
             name="att",
         )(inp)
+        # Loop-invariant GMA probabilities, materialized once per frame
+        # when they fit HBM (see mofnet.py / gma.materialize_attention).
+        hw = h8 * w8
+        attn = materialize_attention(q, k) if b * hw * hw * 2 <= 10**9 else None
 
         corr = make_corr(
             feats[:, 0].astype(self.corr_dtype),
@@ -319,7 +323,7 @@ class MemFlowNet(nn.Module):
             motion=jnp.zeros((b, h8, w8, 128), self.dtype),
             mask=jnp.zeros((b, h8, w8, 64 * 9), self.dtype),
         )
-        consts = (inp, q, k, _corr_state(corr), mem_read)
+        consts = (inp, q, k, attn, _corr_state(corr), mem_read)
         if self.scan_iters:
             carry, _ = step(carry, consts)
         else:

