@@ -278,7 +278,7 @@ class MemFlowNet(nn.Module):
         # Loop-invariant GMA probabilities, materialized once per frame
         # when they fit HBM (see mofnet.py / gma.materialize_attention).
         hw = h8 * w8
-        attn = materialize_attention(q, k) if b * hw * hw * 2 <= 10**9 else None
+        attn = materialize_attention(q, k, out_dtype=self.dtype) if b * hw * hw * 2 <= 10**9 else None
 
         corr = make_corr(
             feats[:, 0].astype(self.corr_dtype),

@@ -165,7 +165,7 @@ class MOFNet(nn.Module):
                                      # (False = Python unroll: needed for
                                      # reverse-mode AD through the
                                      # broadcast correlation constants)
-    attn_mem_budget: int = 10**9     # materialize softmax(qk^T) only when
+    attn_mem_budget: int = 3 * 10**9  # materialize softmax(qk^T) only when
                                      # the [BN, hw, hw] bf16 matrix fits
                                      # this many bytes.  HBM is shared
                                      # with the cost volumes: past ~13 GB
@@ -225,10 +225,6 @@ class MOFNet(nn.Module):
         # GMA attention q/k: once per window (upstream computes `att(inp)`
         # outside the loop too); probabilities materialized when they fit.
         q, k = self.att(inp)
-        attn = None
-        hw = h8 * w8
-        if b * n * hw * hw * 2 <= self.attn_mem_budget:
-            attn = materialize_attention(q, k)
 
         # Correlation pyramids: interior frame vs both neighbors.
         center = feats[:, 1 : t - 1].reshape(b * n, h8, w8, -1)
@@ -249,7 +245,7 @@ class MOFNet(nn.Module):
             net=net,
             q=q,
             k=k,
-            attn=attn,
+            attn=None,  # materialized in refine (same jit as its consumer)
             corr_fwd=_corr_state(corr_fwd),
             corr_bwd=_corr_state(corr_bwd),
             batch=jnp.zeros((b,), jnp.int8),
@@ -261,6 +257,14 @@ class MOFNet(nn.Module):
         b = encoded.batch.shape[0]
         n = bn // b
 
+        # Loop-invariant GMA probabilities, materialized here — in the
+        # SAME jit as the iteration loop — when they fit the budget;
+        # bigger grids keep the chunked recompute inside Aggregate.
+        attn = encoded.attn
+        hw = h8 * w8
+        if attn is None and bn * hw * hw * 2 <= self.attn_mem_budget:
+            attn = materialize_attention(encoded.q, encoded.k, out_dtype=self.dtype)
+
         carry = _MOFCarry(
             flow=jnp.zeros((bn, h8, w8, 4), jnp.float32),
             net=encoded.net,
@@ -268,7 +272,7 @@ class MOFNet(nn.Module):
             mask=jnp.zeros((bn, h8, w8, 2 * 64 * 9), self.dtype),
         )
         consts = (
-            encoded.inp, encoded.q, encoded.k, encoded.attn,
+            encoded.inp, encoded.q, encoded.k, attn,
             encoded.corr_fwd, encoded.corr_bwd,
         )
         if self.scan_iters:

@@ -234,69 +234,31 @@ class FlowEngine:
                 out_shardings=batch_sharding(self.mesh, 5),
             )
         else:
-            from jax.experimental.layout import Format, Layout
-
-            def enc_fn(params, windows):
-                return model.apply(params, prep(windows), method="encode")
-
-            def ref_fn(params, encoded):
-                flows, _ = model.apply(params, encoded, method="refine")
-                return flows[:, :, pt : pt + h, pl : pl + w]
-
-            # Layout-matched chaining: compile refine with AUTO input
-            # layouts so its gathers/einsums consume the encoded state
-            # (multi-GB cost volumes) with NO internal relayout copies —
-            # a mismatched volume argument gets copied to the compute
-            # layout, and under HBM pressure remat-compression re-expands
-            # that copy EVERY iteration (~8x on the loop, then OOM).  A
-            # donating identity jit relayouts only the leaves the encode
-            # jit could not emit in the requested layout (output aliasing
-            # of sliced tensors); matching leaves pass through aliased.
-            chain: Dict = {}
+            # Two chained jits with DEFAULT layouts everywhere.  This is
+            # safe because the cost-volume levels are stored tile-ALIGNED
+            # (corr.py): an aligned shape has a single possible layout,
+            # so the boundary moves the multi-GB pyramids with zero
+            # relayout copies — volumes as jit-internal temps of a single
+            # big jit instead get padded tiled copies that XLA's
+            # remat-compression re-expands EVERY scan iteration (~8x on
+            # the loop + OOM at 1080p; see MOFNet docstring).  Small 4D
+            # leaves (context etc.) may relayout once inside refine —
+            # tens of MB, outside the loop.
+            enc = jax.jit(
+                lambda params, windows: model.apply(
+                    params, prep(windows), method="encode"
+                )
+            )
+            ref = jax.jit(
+                lambda params, encoded: model.apply(
+                    params, encoded, method="refine"
+                )[0][:, :, pt : pt + h, pl : pl + w],
+            )
 
             def fwd(params, windows):
-                k2 = (tuple(windows.shape), str(windows.dtype))
-                if k2 not in chain:
-                    p_aval = jax.tree.map(
-                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
-                    )
-                    w_aval = jax.ShapeDtypeStruct(windows.shape, windows.dtype)
-                    enc_aval = jax.eval_shape(enc_fn, p_aval, w_aval)
-                    auto = jax.tree.map(lambda _: Format(Layout.AUTO), enc_aval)
-                    ref_c = (
-                        jax.jit(ref_fn, in_shardings=(None, auto))
-                        .lower(p_aval, enc_aval)
-                        .compile()
-                    )
-                    enc_fmts = jax.tree.unflatten(
-                        jax.tree.structure(enc_aval),
-                        jax.tree.leaves(ref_c.input_formats[0][1]),
-                    )
+                return ref(params, enc(params, windows))
 
-                    # Force the layouts INSIDE the encode jit (XLA's
-                    # layout assignment declines out_shardings layout
-                    # requests for the volume outputs): the per-level
-                    # relayout copies then free their sources one level
-                    # at a time instead of double-living the whole
-                    # multi-GB state at the boundary.
-                    from jax.experimental.layout import with_layout_constraint
-
-                    def enc_pinned(params, windows):
-                        encoded = enc_fn(params, windows)
-                        return jax.tree.map(
-                            lambda x, f: (
-                                with_layout_constraint(x, f.layout)
-                                if f.layout is not None
-                                else x
-                            ),
-                            encoded,
-                            enc_fmts,
-                        )
-
-                    enc_j = jax.jit(enc_pinned, out_shardings=enc_fmts)
-                    chain[k2] = (enc_j, ref_c)
-                enc_j, ref_c = chain[k2]
-                return ref_c(params, enc_j(params, windows))
+            fwd.enc, fwd.ref = enc, ref  # exposed for profiling
 
         self._fwd_cache[key] = fwd
         return fwd
