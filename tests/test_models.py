@@ -123,19 +123,32 @@ def test_dense_lookup_matches_lookup():
 
 
 def test_dense_lookup_matches_lookup_bf16():
-    # bf16 volume storage (the TPU configuration): one-hot selection is
-    # exact in bf16, so dense == gather bit-for-bit.
+    # bf16 volume storage (the TPU configuration): one-hot SELECTION is
+    # exact in bf16 — at integer flow (no interpolation) dense == gather
+    # bit-for-bit.  At fractional flow the dense path interpolates in
+    # bf16 (its consumers are bf16; the f32 intermediates measured ~2x
+    # the lookup's HBM traffic — corr.py), so equality holds to bf16
+    # interpolation rounding.
     from tpuflow.core.corr import DenseCorrPyramid
 
     rng = np.random.default_rng(17)
     f1 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
     f2 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
-    flow = jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32)
     cp = CorrPyramid.build(f1, f2, 3)
     dp = DenseCorrPyramid.build(f1, f2, 3)
+
+    int_flow = jnp.asarray(
+        rng.integers(-4, 5, size=(1, 16, 20, 2)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cp.lookup(int_flow, 4)), np.asarray(dp.lookup(int_flow, 4))
+    )
+
+    flow = jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32)
     a = np.asarray(cp.lookup(flow, 4))
     b = np.asarray(dp.lookup(flow, 4))
-    np.testing.assert_array_equal(a, b)
+    scale = max(1.0, np.abs(a).max())
+    assert np.max(np.abs(a - b)) <= 2 * 0.0079 * scale  # 2 ulp bf16
 
 
 def test_choose_group_layouts():

@@ -986,41 +986,55 @@ class DenseCorrPyramid:
             # input layouts and relayouts once at the boundary, because a
             # mismatched volume gets copied per-use under remat
             # compression (~8x on the loop; MOFNet docstring).
+            # Both selection matmuls stay in the VOLUME's dtype end to
+            # end: every product is 1.0 * v (one-hot), so bands/patch
+            # hold exact volume entries — bf16 intermediates lose nothing
+            # the bf16-at-rest volume hadn't already, and the f32
+            # versions measured ~2x the lookup's HBM traffic.
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, side, nh), 2)
             R = (hk[:, :, None] == row_iota).astype(volume.dtype)
             bands = jnp.einsum(
-                "nsh,nhw->nsw", R, volume, preferred_element_type=jnp.float32
+                "nsh,nhw->nsw", R, volume, preferred_element_type=volume.dtype
             )  # [N, side, gw]
 
             # Phase mask + column one-hot (lane index decomposes as
             # phase * lw + column); the mask generation fuses into the
             # elementwise multiply, only C materializes.
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, gw), 2)
-            bands = bands * (lane // lw == pk[:, :, None])
+            bands = bands * (lane // lw == pk[:, :, None]).astype(volume.dtype)
             C = (lane % lw == cc[:, :, None]).astype(volume.dtype)
             patch = jnp.einsum(
                 "nsw,ncw->nsc",
-                bands.astype(volume.dtype),  # exact: values are V's own
+                bands,
                 C,
-                preferred_element_type=jnp.float32,
-            )  # [N, side(rows), side(cols)]
+                preferred_element_type=volume.dtype,
+            )  # [N, side(rows), side(cols)] in volume dtype
+            dt = volume.dtype
             if border == "zeros":
-                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
-                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
+                vr = ((yraw >= 0) & (yraw < lh)).astype(dt)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(dt)
                 patch = patch * vr[:, :, None] * vc[:, None, :]
 
+            # Bilinear in the volume dtype: for f32 volumes (tests/parity)
+            # this is the exact f32 math; for bf16 volumes the result
+            # feeds a bf16 network anyway and the f32 intermediates
+            # measured ~2x the lookup's HBM traffic.
             v00 = patch[:, :-1, :-1]
             v01 = patch[:, :-1, 1:]
             v10 = patch[:, 1:, :-1]
             v11 = patch[:, 1:, 1:]
+            wxd = wx.astype(dt)
+            wyd = wy.astype(dt)
             sampled = (
-                v00 * (1 - wx) * (1 - wy)
-                + v01 * wx * (1 - wy)
-                + v10 * (1 - wx) * wy
-                + v11 * wx * wy
+                v00 * (1 - wxd) * (1 - wyd)
+                + v01 * wxd * (1 - wyd)
+                + v10 * (1 - wxd) * wyd
+                + v11 * wxd * wyd
             )
             sampled = sampled.swapaxes(1, 2)  # upstream x-major order
-            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
+            out.append(
+                sampled.reshape(b, h, w, (2 * r + 1) ** 2).astype(jnp.float32)
+            )
         return jnp.concatenate(out, axis=-1)
 
 
