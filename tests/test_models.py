@@ -137,18 +137,19 @@ def test_dense_lookup_matches_lookup_bf16():
     cp = CorrPyramid.build(f1, f2, 3)
     dp = DenseCorrPyramid.build(f1, f2, 3)
 
-    int_flow = jnp.asarray(
-        rng.integers(-4, 5, size=(1, 16, 20, 2)).astype(np.float32)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(cp.lookup(int_flow, 4)), np.asarray(dp.lookup(int_flow, 4))
-    )
-
-    flow = jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32)
-    a = np.asarray(cp.lookup(flow, 4))
-    b = np.asarray(dp.lookup(flow, 4))
-    scale = max(1.0, np.abs(a).max())
-    assert np.max(np.abs(a - b)) <= 2 * 0.0079 * scale  # 2 ulp bf16
+    # The two BUILDERS may differ by one bf16 rounding in pooled levels
+    # (different reduction association between the per-plane lax.map and
+    # the chunked batched einsum), so bf16 agreement is to ulp bounds;
+    # the selection/interpolation machinery itself is exact (the f32
+    # test above is bit-for-bit).
+    for flow in (
+        jnp.asarray(rng.integers(-4, 5, size=(1, 16, 20, 2)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32),
+    ):
+        a = np.asarray(cp.lookup(flow, 4))
+        b = np.asarray(dp.lookup(flow, 4))
+        scale = max(1.0, np.abs(a).max())
+        assert np.max(np.abs(a - b)) <= 2 * 0.0079 * scale  # 2 ulp bf16
 
 
 def test_choose_group_layouts():
