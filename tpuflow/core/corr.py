@@ -525,7 +525,7 @@ class DenseCorrPyramid:
             x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
             return x.reshape(nc, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
 
-        rows = max(1, min(h * w, int(5e8 / max(1, 4 * b * h2 * w2))))
+        rows = max(1, min(h * w, int(1.5e9 / max(1, 4 * b * h2 * w2))))
         nchunks = -(-(h * w) // rows)
         f1 = fmap1.reshape(b, h * w, c)
         f2 = fmap2.reshape(b, h2 * w2, c)
