@@ -70,6 +70,14 @@ def build_corr_pyramid(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarr
     return pyramid
 
 
+def _largest_divisor_chunk(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (static shapes only)."""
+    c = max(1, min(n, target))
+    while n % c:
+        c -= 1
+    return c
+
+
 def pyramid_level_dims(h2: int, w2: int, level: int) -> Tuple[int, int]:
     """Spatial dims of pyramid level `level` (VALID 2x pooling)."""
     for _ in range(level):
@@ -1114,14 +1122,22 @@ class OnTheFlyCorr:
         return cls(fmap1, pyr)
 
     def lookup(
-        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros",
+        chunk_budget: int = 4 * 10**8,
     ) -> jnp.ndarray:
         """[B, H, W, 2] flow -> [B, H, W, L*(2r+1)^2] correlation features,
         numerically matching CorrPyramid.lookup (zero-pad border, upstream
         x-major window channel order: position(p) = (x0 + d[p // S],
-        y0 + d[p % S]))."""
+        y0 + d[p % S])).
+
+        Queries are processed in chunks under lax.map so the per-corner
+        feature gather [B, chunk, P, C] stays within `chunk_budget` bytes
+        — at full-frame 2160p the unchunked gather alone would be ~16 GB.
+        Chunking only reorders independent per-query work (numerics
+        unchanged)."""
         b, h, w, _ = flow.shape
         r = radius
+        c = self.fmap1.shape[-1]
         d = jnp.arange(-r, r + 1, dtype=jnp.float32)
         # x takes the FIRST window axis (upstream meshgrid(dy, dx) quirk —
         # see CorrPyramid.lookup docstring).
@@ -1129,18 +1145,21 @@ class OnTheFlyCorr:
         dx = dxg.reshape(-1)
         dy = dyg.reshape(-1)
         p = dx.shape[0]
+        hw = h * w
 
         ys, xs = jnp.mgrid[0:h, 0:w]
-        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, h * w, 1)
-        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, h * w, 1)
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
+        f1 = self.fmap1.reshape(b, hw, c)
+        scale = self.scale
 
-        f1 = self.fmap1.reshape(b, h * w, -1)
-        out = []
-        for lvl, f2l in enumerate(self.pyramid):
+        def level_corr(f2l, bx, by):
+            """One level's lookup for a block of queries.
+            bx/by: [B, Q]; returns [B, Q, P] f32."""
             lh, lw = f2l.shape[1], f2l.shape[2]
             # x/y separate: no [...,2] trailing dim (layout padding trap).
-            x = base_x / (2.0**lvl) + dx[None, None, :]  # [B, HW, P]
-            y = base_y / (2.0**lvl) + dy[None, None, :]
+            x = bx[..., None] + dx[None, None, :]  # [B, Q, P]
+            y = by[..., None] + dy[None, None, :]
             x0 = jnp.floor(x)
             y0 = jnp.floor(y)
             wx = x - x0
@@ -1154,9 +1173,9 @@ class OnTheFlyCorr:
 
             # Bilinear interpolation commutes with the feature contraction,
             # so dot each corner separately: peak transient memory is one
-            # [B, HW, P, C] gather instead of four.
+            # [B, Q, P, C] gather instead of four.
             bidx = jnp.arange(b)[:, None, None]
-            corr = jnp.zeros((b, h * w, p), jnp.float32)
+            corr = jnp.zeros(x.shape, jnp.float32)
             for yu, xu, yi, xi, wgt in (
                 (y0u, x0u, y0i, x0i, (1 - wx) * (1 - wy)),
                 (y0u, x0u + 1, y0i, x1i, wx * (1 - wy)),
@@ -1169,14 +1188,49 @@ class OnTheFlyCorr:
                     wgt = wgt * (
                         (yu >= 0) & (yu < lh) & (xu >= 0) & (xu < lw)
                     ).astype(wgt.dtype)
-                v = f2l[bidx, yi, xi]  # [B, HW, P, C]
-                # bf16 inputs, f32 accumulation: native MXU shape.
+                v = f2l[bidx, yi, xi]  # [B, Q, P, C]
                 dot = jnp.einsum(
-                    "bnc,bnpc->bnp", f1, v, preferred_element_type=jnp.float32
+                    "bqc,bqpc->bqp",
+                    level_corr.f1_block,
+                    v,
+                    preferred_element_type=jnp.float32,
                 )
                 corr = corr + wgt * dot
-            out.append((corr * self.scale).reshape(b, h, w, p))
-        return jnp.concatenate(out, axis=-1)
+            return corr * scale
+
+        # Chunk size: largest divisor of hw whose per-corner gather fits
+        # the budget (static shapes only).
+        target = max(1, min(hw, chunk_budget // max(1, b * p * c * 2)))
+        chunk = _largest_divisor_chunk(hw, target)
+
+        if chunk == hw:
+            level_corr.f1_block = f1
+            out = [
+                level_corr(f2l, base_x / (2.0**lvl), base_y / (2.0**lvl))
+                .reshape(b, h, w, p)
+                for lvl, f2l in enumerate(self.pyramid)
+            ]
+            return jnp.concatenate(out, axis=-1)
+
+        nchunk = hw // chunk
+        bxc = jnp.moveaxis(base_x.reshape(b, nchunk, chunk), 1, 0)
+        byc = jnp.moveaxis(base_y.reshape(b, nchunk, chunk), 1, 0)
+        f1c = jnp.moveaxis(f1.reshape(b, nchunk, chunk, c), 1, 0)
+
+        def one_chunk(args):
+            bx, by, f1b = args  # [B, chunk(, C)]
+            level_corr.f1_block = f1b
+            return jnp.concatenate(
+                [
+                    level_corr(f2l, bx / (2.0**lvl), by / (2.0**lvl))
+                    for lvl, f2l in enumerate(self.pyramid)
+                ],
+                axis=-1,
+            )  # [B, chunk, L*P]
+
+        out = jax.lax.map(one_chunk, (bxc, byc, f1c))  # [nchunk, B, chunk, LP]
+        out = jnp.moveaxis(out, 0, 1).reshape(b, h, w, -1)
+        return out
 
 
 def make_corr(

@@ -40,6 +40,13 @@ def _pick_chunk(hw: int, max_chunk: int = 2048) -> int:
     return c
 
 
+def _row_chunk(b: int, hw: int, budget: int = 3 * 10**8) -> int:
+    """Query-row chunk for [b, chunk, hw] f32 attention strips: bounded
+    by `budget` bytes (full-frame 2160p grids would otherwise build
+    multi-GB strips and fault the worker)."""
+    return _pick_chunk(hw, max(1, min(2048, budget // max(1, b * hw * 4))))
+
+
 class Attention(nn.Module):
     """Content-only GMA attention: returns the (q, k) pair instead of the
     materialized [HW, HW] matrix (see module docstring).  heads=1 per the
@@ -77,7 +84,7 @@ def materialize_attention(q, k, out_dtype=jnp.bfloat16):
     hw = h * w
     qf = q.reshape(b, hw, d)
     kf = k.reshape(b, hw, d)
-    chunk = _pick_chunk(hw)
+    chunk = _row_chunk(b, hw)
 
     def one_chunk(qc):  # [b, chunk, d]
         sim = jnp.einsum("bid,bjd->bij", qc, kf, preferred_element_type=jnp.float32)
@@ -118,7 +125,7 @@ class Aggregate(nn.Module):
         else:
             qf = q.reshape(b, hw, d)
             kf = k.reshape(b, hw, d)
-            chunk = _pick_chunk(hw)
+            chunk = _row_chunk(b, hw)
             nchunk = hw // chunk
 
             def one_chunk(qc):

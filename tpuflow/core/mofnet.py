@@ -215,10 +215,20 @@ class MOFNet(nn.Module):
 
         x = 2.0 * frames - 1.0
 
-        feats = self.fnet(x.reshape(b * t, h, w, 3))
+        # Big grids run the encoders one frame at a time: the f32
+        # normalization intermediates of a frame-batched encoder at
+        # full-frame 2160p are ~2.5 GB each and OOM the chip.
+        def run_enc(enc, xs):
+            if h8 * w8 <= 168 * 168:
+                return enc(xs)
+            return jnp.concatenate(
+                [enc(xs[i : i + 1]) for i in range(xs.shape[0])], axis=0
+            )
+
+        feats = run_enc(self.fnet, x.reshape(b * t, h, w, 3))
         feats = feats.reshape(b, t, h8, w8, self.feature_dim)
 
-        ctx = self.cnet(x[:, 1 : t - 1].reshape(b * n, h, w, 3))
+        ctx = run_enc(self.cnet, x[:, 1 : t - 1].reshape(b * n, h, w, 3))
         net = jnp.tanh(ctx[..., : self.hidden_dim])
         inp = nn.relu(ctx[..., self.hidden_dim :])
 
