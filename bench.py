@@ -11,10 +11,10 @@ computed at their ACTUAL bucketed shapes (1280x1080 + 640x1080 per
 
 HEADLINE metric semantics = the reference's own: stride-1, middle-frame
 flow per window (videoflow_core.py:193-195) — one full window pass per
-output frame.  The engine's stride-interior mode (every interior frame
-kept, (T-2)x fewer passes) is reported on stderr as a secondary number
-but NOT used for the headline, since its outputs are not
-frame-for-frame identical to the reference's.
+output frame, measured over the engine's feature-cached product loop
+(per-frame encoder features computed once, windows assembled from the
+rolling cache — identical outputs to the reference's per-window
+recompute up to float reassociation).
 
 Measurement is DEVICE THROUGHPUT: inputs are device-resident and outputs
 reduce to a checksum scalar on device.  On this dev harness the chip sits
@@ -80,49 +80,72 @@ def main():
     # Host-side tile/window assembly once (the product path does this per
     # frame; it's host numpy, microseconds at these sizes).
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (T + 3, H, W, 3), dtype=np.uint8)
+    n_frames = T + 11
+    frames = rng.integers(0, 256, (n_frames, H, W, 3), dtype=np.uint8)
     _, _, _, _, tiles_info = calculate_tile_grid(W, H, TILE)
-    win = centered_window_indices(len(frames), 3, T)
 
-    # One compiled forward per tile shape group: 1280x1080 + 640x1080
-    # (the reference's shrunken edge tiles, videoflow_processor.py:112-120).
+    # Feature-cached stride-1 loop exactly as the product tile path runs
+    # it (engine.compute_flows_tiled_stride1): per-frame encoder features
+    # are computed once and windows assemble from the rolling cache;
+    # flows reduce to a checksum on device (see DEVICE THROUGHPUT note).
     groups = []
     for (th, tw), idxs in group_tiles_by_shape(tiles_info).items():
-        tiles = extract_tile_group(frames[win], tiles_info, idxs, overlap=0)
-        dev = jax.device_put(jnp.asarray(tiles))
-        fwd = engine._videoflow_forward_all(th, tw)
-        groups.append((fwd, dev, th, tw))
-        log(f"tile group {len(idxs)}x {th}x{tw} uploaded ({tiles.nbytes / 1e6:.0f} MB)")
+        fns = engine._videoflow_stride1_fns(th, tw)
+        per_frame = [
+            jax.device_put(
+                jnp.asarray(extract_tile_group(frames[f : f + 1], tiles_info, idxs, 0)[:, 0])
+            )
+            for f in range(n_frames)
+        ]
+        groups.append((fns, per_frame, th, tw))
+        log(f"tile group {len(idxs)}x {th}x{tw} uploaded")
 
     @jax.jit
     def checksum(parts):
         return sum(jnp.mean(jnp.abs(p)).astype(jnp.float32) for p in parts)
 
-    def one_window():
-        return [fwd(engine.params, dev) for fwd, dev, _, _ in groups]
+    iters = 8
+    start_idx = T // 2  # first centered window
+    feat_caches = [dict() for _ in groups]
 
-    log("warmup (compiles one forward per tile shape)")
-    outs = one_window()
+    def one_window(i):
+        outs = []
+        for (fns, per_frame, th, tw), cache in zip(groups, feat_caches):
+            feat_j, enc_j, ref_j = fns
+            win = centered_window_indices(n_frames, i, T)
+            for f in dict.fromkeys(win):
+                if f not in cache:
+                    cache[f] = feat_j(engine.params, per_frame[f])
+            for f in [f for f in cache if f < i - T]:
+                del cache[f]
+            fw = jnp.stack([cache[f][0] for f in win], axis=1)
+            cw = jnp.stack([cache[f][1] for f in win], axis=1)
+            outs.append(ref_j(engine.params, enc_j(engine.params, fw, cw)))
+        return outs
+
+    log("warmup (compiles features/assembly/refine per tile shape)")
+    outs = one_window(start_idx)
     chk = float(checksum(outs))
     assert np.isfinite(chk), chk
-    frames_per_window = T - 2
-    assert outs[0].shape[1] == frames_per_window
     log(f"warmup done (checksum {chk:.4f}); timing")
 
-    iters = 8
+    # Reset caches so the timed loop pays the steady-state cost (one new
+    # frame's features per window), exactly like a long clip.
+    for c in feat_caches:
+        c.clear()
+    one_window(start_idx)  # reprime caches for start_idx's window
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = one_window()
-    # One scalar fetch serializes the async chain.
+    for j in range(iters):
+        outs = one_window(start_idx + 1 + j)
     chk = float(checksum(outs))
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
 
     stride1_fps = iters / dt  # reference semantics: 1 output frame / window
-    interior_fps = iters * frames_per_window / dt
     log(
-        f"{iters} window passes in {dt:.3f}s -> stride-1 (reference parity) "
-        f"{stride1_fps:.3f} frames/s; stride-interior mode {interior_fps:.3f} frames/s"
+        f"{iters} stride-1 windows in {dt:.3f}s -> {stride1_fps:.3f} frames/s "
+        f"(feature-cached product loop)"
     )
 
     print(

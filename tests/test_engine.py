@@ -266,3 +266,26 @@ def test_checkpoint_naming():
         ModelConfig(model="memflow", stage="things").checkpoint_path
         == "MemFlow_ckpt/MemFlowNet_things.pth"
     )
+
+
+def test_stride1_feature_cache_matches_per_frame_tiled():
+    """The feature-cached stride-1 tile path (per-frame fnet/cnet computed
+    once, windows assembled from the rolling cache) computes the same
+    math as per-window recompute — equal up to float reassociation
+    (different batch groupings reassociate encoder reductions; shallow
+    depth keeps the iterative amplification bounded)."""
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
+
+    cfg = ModelConfig(
+        model="videoflow", architecture="mof", sequence_length=5, decoder_depth=1
+    )
+    eng = FlowEngine(cfg)
+    eng.load_model("__random_init__")
+    frames = (np.random.default_rng(3).random((7, 96, 256, 3)) * 255).astype(np.uint8)
+    per_frame = np.stack(
+        [eng.compute_flow_tiled(frames, i, tile_size=96) for i in range(7)]
+    )
+    rolling = eng.compute_flows_tiled_stride1(frames, tile_size=96)
+    scale = max(1.0, float(np.abs(per_frame).max()))
+    assert np.max(np.abs(per_frame - rolling)) / scale < 2e-3

@@ -205,14 +205,16 @@ class MOFNet(nn.Module):
         else:
             self.iteration = _MOFIteration(**iter_kwargs)
 
-    def encode(self, frames: jnp.ndarray) -> MOFEncoded:
-        """Encoders + correlation volumes + attention: everything the
-        refinement loop consumes read-only."""
-        b, t, h, w, _ = frames.shape
-        n = t - 2
-        assert t >= 3, "MOFNet needs at least 3 frames"
-        h8, w8 = h // 8, w // 8
+    def frame_features(self, frames: jnp.ndarray):
+        """Per-frame encoder features: [M, H, W, 3] in [0, 1] ->
+        (fnet feats [M, h8, w8, Cf], cnet ctx [M, h8, w8, 256]).
 
+        Both encoders are strictly per-frame, so at stride-1 consecutive
+        windows share T-1 of T frames and the engine caches these outputs
+        per frame instead of recomputing them per window
+        (engine.compute_flows_tiled_stride1)."""
+        m, h, w, _ = frames.shape
+        h8, w8 = h // 8, w // 8
         x = 2.0 * frames - 1.0
 
         # Big grids run the encoders one frame at a time: the f32
@@ -225,12 +227,19 @@ class MOFNet(nn.Module):
                 [enc(xs[i : i + 1]) for i in range(xs.shape[0])], axis=0
             )
 
-        feats = run_enc(self.fnet, x.reshape(b * t, h, w, 3))
-        feats = feats.reshape(b, t, h8, w8, self.feature_dim)
+        return run_enc(self.fnet, x), run_enc(self.cnet, x)
 
-        ctx = run_enc(self.cnet, x[:, 1 : t - 1].reshape(b * n, h, w, 3))
-        net = jnp.tanh(ctx[..., : self.hidden_dim])
-        inp = nn.relu(ctx[..., self.hidden_dim :])
+    def encode_from_features(self, feats: jnp.ndarray, ctx: jnp.ndarray) -> MOFEncoded:
+        """Window assembly from per-frame features: feats [B, T, h8, w8,
+        Cf], ctx [B, T, h8, w8, 256] (only interiors 1..T-2 of ctx are
+        consumed) -> the refine-ready encoded state."""
+        b, t = feats.shape[:2]
+        n = t - 2
+        h8, w8 = feats.shape[2], feats.shape[3]
+
+        ctx_i = ctx[:, 1 : t - 1].reshape(b * n, h8, w8, -1)
+        net = jnp.tanh(ctx_i[..., : self.hidden_dim])
+        inp = nn.relu(ctx_i[..., self.hidden_dim :])
 
         # GMA attention q/k: once per window (upstream computes `att(inp)`
         # outside the loop too); probabilities materialized when they fit.
@@ -260,6 +269,36 @@ class MOFNet(nn.Module):
             corr_bwd=_corr_state(corr_bwd),
             batch=jnp.zeros((b,), jnp.int8),
         )
+
+    def encode(self, frames: jnp.ndarray) -> MOFEncoded:
+        """Encoders + correlation volumes: everything the refinement loop
+        consumes read-only.  frames [B, T, H, W, 3] in [0, 1].
+
+        One-shot path: cnet runs on interior frames only (the cached
+        stride-1 path computes per-frame features once and assembles
+        windows via encode_from_features instead)."""
+        b, t, h, w, _ = frames.shape
+        n = t - 2
+        assert t >= 3, "MOFNet needs at least 3 frames"
+        h8, w8 = h // 8, w // 8
+        x = 2.0 * frames - 1.0
+
+        def run_enc(enc, xs):
+            if h8 * w8 <= 168 * 168:
+                return enc(xs)
+            return jnp.concatenate(
+                [enc(xs[i : i + 1]) for i in range(xs.shape[0])], axis=0
+            )
+
+        feats = run_enc(self.fnet, x.reshape(b * t, h, w, 3))
+        feats = feats.reshape(b, t, h8, w8, self.feature_dim)
+        ctx_i = run_enc(self.cnet, x[:, 1 : t - 1].reshape(b * n, h, w, 3))
+        # Pad ctx to per-frame layout (edge frames unused downstream).
+        pad = jnp.zeros((b, 1, h8, w8, ctx_i.shape[-1]), ctx_i.dtype)
+        ctx = jnp.concatenate(
+            [pad, ctx_i.reshape(b, n, h8, w8, -1), pad], axis=1
+        )
+        return self.encode_from_features(feats, ctx)
 
     def refine(self, encoded: MOFEncoded):
         """Iterative refinement + convex upsample from the encoded state."""

@@ -483,6 +483,108 @@ class FlowEngine:
                     tile_flows[idxs[i + j]] = flows[j]
         return paste_tile_flows(tile_flows, tiles_info, w, h, tile_size, overlap)
 
+    def _videoflow_stride1_fns(self, th: int, tw: int):
+        """Jit trio for the feature-cached stride-1 path: per-frame
+        features, window assembly from features, and the refine+mid-slice
+        (see compute_flows_tiled_stride1)."""
+        key = ("vf_s1", th, tw)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+        pt, pb, pl, pr = pad_dims(th, tw, 8)
+        model = self.model
+        t = self.config.sequence_length
+        mid = (t - 2) // 2
+
+        def prep(x):  # [G, th, tw, 3]
+            xf = x.astype(jnp.float32)
+            if x.dtype == jnp.uint8:
+                xf = xf / 255.0
+            return jnp.pad(xf, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="edge")
+
+        feat_j = jax.jit(
+            lambda p, x: model.apply(p, prep(x), method="frame_features")
+        )
+        enc_j = jax.jit(
+            lambda p, f, c: model.apply(p, f, c, method="encode_from_features")
+        )
+        ref_j = jax.jit(
+            lambda p, e: model.apply(p, e, method="refine")[0][
+                :, mid, pt : pt + th, pl : pl + tw
+            ]
+        )
+        self._fwd_cache[key] = (feat_j, enc_j, ref_j)
+        return self._fwd_cache[key]
+
+    def compute_flows_tiled_stride1(
+        self,
+        frames: Sequence[np.ndarray],
+        tile_size: int = TILE_SIZE,
+        overlap: int = 0,
+        progress_cb=None,
+    ) -> np.ndarray:
+        """Stride-1 tile-mode flows for EVERY frame with per-frame feature
+        reuse.
+
+        Reference semantics (one centered window per output frame,
+        middle-frame flow — videoflow_core.py:193-195), same outputs as
+        calling compute_flow_tiled per frame; but fnet/cnet are strictly
+        per-frame, and at stride-1 consecutive windows share T-1 of T
+        frames — so each frame's per-tile encoder features are computed
+        ONCE and kept in a rolling device-side cache, and windows
+        assemble from cached features (MOFNet.encode_from_features).
+        Saves ~(T-1)/T of all encoder work across a clip."""
+        if not self._loaded:
+            raise RuntimeError("Model not loaded. Call load_model() first.")
+        arr = np.asarray(frames)
+        n, h, w = arr.shape[:3]
+        t = self.config.sequence_length
+        if (
+            self.config.model == "memflow"
+            or (h <= tile_size and w <= tile_size)
+            or self.mesh is not None
+        ):
+            return np.stack(
+                [
+                    self.compute_flow_tiled(frames, i, tile_size, overlap)
+                    for i in range(n)
+                ]
+            )
+
+        _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
+        groups = group_tiles_by_shape(tiles_info)
+        make_fns = self._videoflow_stride1_fns
+        caches: Dict = {shape: {} for shape in groups}
+        flows_out = np.empty((n, h, w, 2), np.float32)
+        for i in range(n):
+            win = centered_window_indices(n, i, t)
+            tile_flows: List = [None] * len(tiles_info)
+            for shape, idxs in groups.items():
+                feat_j, enc_j, ref_j = make_fns(*shape)
+                cache = caches[shape]
+                for f in dict.fromkeys(win):  # unique, ordered
+                    if f not in cache:
+                        tiles = extract_tile_group(
+                            arr[f : f + 1], tiles_info, idxs, overlap
+                        )[:, 0]
+                        cache[f] = feat_j(self.params, jnp.asarray(tiles))
+                # Evict frames that can no longer appear in a window.
+                low = max(0, i - t)
+                for f in [f for f in cache if f < low]:
+                    del cache[f]
+                feats_w = jnp.stack([cache[f][0] for f in win], axis=1)
+                ctx_w = jnp.stack([cache[f][1] for f in win], axis=1)
+                group_flows = np.asarray(
+                    ref_j(self.params, enc_j(self.params, feats_w, ctx_w))
+                )
+                for j, ti in enumerate(idxs):
+                    tile_flows[ti] = group_flows[j]
+            flows_out[i] = paste_tile_flows(
+                tile_flows, tiles_info, w, h, tile_size, overlap
+            )
+            if progress_cb is not None:
+                progress_cb(i, flows_out[i])
+        return flows_out
+
     def stream_flows(
         self, frames: Sequence[np.ndarray], warm_start: bool = False, chunk: int = 0
     ) -> np.ndarray:

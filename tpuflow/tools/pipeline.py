@@ -217,13 +217,18 @@ class FlowPipeline:
                 if iterator:
                     iterator.update(1)
         elif self.config.tile:
-            for i in range(n):
-                flows[i] = self.engine.compute_flow_tiled(
-                    frames, i, overlap=self.config.tile_overlap
-                )
-                save(flows[i], i)
+            # Stride-1 tile mode with per-frame feature reuse: consecutive
+            # windows share T-1 frames, so encoder features compute once
+            # per frame instead of once per window (engine method docs).
+            def _on_frame(i, flow):
+                flows[i] = flow
+                save(flow, i)
                 if iterator:
                     iterator.update(1)
+
+            self.engine.compute_flows_tiled_stride1(
+                frames, overlap=self.config.tile_overlap, progress_cb=_on_frame
+            )
         else:
             bs = max(1, self.config.batch_frames)
             for i0 in range(0, n, bs):
