@@ -85,55 +85,6 @@ def pyramid_level_dims(h2: int, w2: int, level: int) -> Tuple[int, int]:
     return h2, w2
 
 
-def _bilinear_gather(
-    volume_flat: jnp.ndarray, lh: int, lw: int, x: jnp.ndarray, y: jnp.ndarray
-) -> jnp.ndarray:
-    """Sample a flat volume [N, lh*lw] at float coords x, y: [N, P].
-    Out-of-range samples clamp to the border (RAFT's zero-padded
-    grid_sample differs only beyond the edge, where cost values are
-    uninformative anyway).
-
-    x/y stay separate arrays and gathers use FLAT linear indices: a
-    stacked [..., 2] coordinate tensor (or multi-dim index tensors) would
-    carry a tiny trailing dim that TPU layouts pad to the 128-lane tile
-    (observed 35-46x HBM inflation).
-
-    Returns [N, P] sampled correlations (f32)."""
-    n = volume_flat.shape[0]
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-
-    x0u = x0.astype(jnp.int32)
-    y0u = y0.astype(jnp.int32)
-    # Clamp floor and floor+1 independently from the UNCLIPPED floor
-    # (patch-gather border semantics: fully-OOB samples replicate edge).
-    x0i = jnp.clip(x0u, 0, lw - 1)
-    x1i = jnp.clip(x0u + 1, 0, lw - 1)
-    y0i = jnp.clip(y0u, 0, lh - 1)
-    y1i = jnp.clip(y0u + 1, 0, lh - 1)
-
-    flat = volume_flat.reshape(-1)
-    base = (jnp.arange(n, dtype=jnp.int32) * (lh * lw))[:, None]  # [N, 1]
-
-    def take(yi, xi):
-        return jnp.take(flat, base + yi * lw + xi).astype(jnp.float32)
-
-    v00 = take(y0i, x0i)
-    v01 = take(y0i, x1i)
-    v10 = take(y1i, x0i)
-    v11 = take(y1i, x1i)
-
-    return (
-        v00 * (1 - wx) * (1 - wy)
-        + v01 * wx * (1 - wy)
-        + v10 * (1 - wx) * wy
-        + v11 * wx * wy
-    )
-
-
 class CorrPyramid:
     """Materialized correlation pyramid with radius lookup.
 
@@ -183,389 +134,6 @@ class CorrPyramid:
 
         stacked = jax.lax.map(build_one, (fmap1, fmap2))
         pyramid = [lvl.reshape(b * h * w, -1) for lvl in stacked]
-        return cls(pyramid, (b, h, w), (h2, w2))
-
-    def lookup(
-        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
-    ) -> jnp.ndarray:
-        """Default lookup: sample (2r+1)^2 windows around flow-displaced
-        positions at every pyramid level (patch-take formulation; the
-        measured-stable choice — see lookup_rows/lookup_span for the
-        alternatives and their measured rates).
-
-        flow: [B, H, W, 2] at feature resolution.
-        Returns [B, H, W, L*(2r+1)^2] float32.
-
-        Patch-gather formulation: every window position of a query shares
-        the same fractional offset (the window deltas are integers), so
-        ONE (2r+2)^2 patch gather per query yields all (2r+1)^2 bilinear
-        samples via static shifts — ~3x fewer gathered elements and 4x
-        fewer gather ops than sampling each position independently.
-
-        Upstream-parity contracts (RAFT CorrBlock as consumed by
-        videoflow_core.py:91-94):
-        - border='zeros' (default): out-of-plane bilinear corners
-          contribute 0, like grid_sample(padding_mode='zeros');
-          border='clamp' replicates the edge texel instead.
-        - output channel p enumerates the window with the FIRST axis
-          applied to x: position(p) = (x0 + d[p // S], y0 + d[p % S]) with
-          d = [-r..r], S = 2r+1 — upstream's meshgrid(dy, dx) quirk adds
-          the first meshgrid axis to the x coordinate, and the motion
-          encoder's weights are laid out for that order."""
-        b, h, w, _ = flow.shape
-        r = radius
-        side = 2 * r + 2  # patch side: window + 1 for the bilinear corner
-        n = b * h * w
-
-        ys, xs = jnp.mgrid[0:h, 0:w]
-        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
-        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
-
-        jj = jnp.arange(side, dtype=jnp.int32)
-        out = []
-        for lvl, volume in enumerate(self.pyramid):
-            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
-            cx = base_x / (2.0**lvl)
-            cy = base_y / (2.0**lvl)
-            fx0 = jnp.floor(cx)
-            fy0 = jnp.floor(cy)
-            wx = (cx - fx0)[:, None, None]  # [N, 1, 1] shared fraction
-            wy = (cy - fy0)[:, None, None]
-            px = fx0.astype(jnp.int32) - r  # patch origin
-            py = fy0.astype(jnp.int32) - r
-
-            # Patch coordinates, clamped; row-local indices gathered with
-            # take_along_axis — each query reads its OWN [lh*lw] row, and
-            # no global reshape(-1) (which forced a full-volume layout
-            # copy inside the refinement loop).
-            xraw = px[:, None] + jj[None, :]  # [N, side]
-            yraw = py[:, None] + jj[None, :]
-            xx = jnp.clip(xraw, 0, lw - 1)
-            yy = jnp.clip(yraw, 0, lh - 1)
-            idx = yy[:, :, None] * lw + xx[:, None, :]  # [N, side, side]
-            patch = jnp.take_along_axis(
-                volume, idx.reshape(n, side * side), axis=1
-            )
-            patch = patch.reshape(n, side, side).astype(jnp.float32)
-            if border == "zeros":
-                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
-                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
-                patch = patch * vr[:, :, None] * vc[:, None, :]
-
-            v00 = patch[:, :-1, :-1]
-            v01 = patch[:, :-1, 1:]
-            v10 = patch[:, 1:, :-1]
-            v11 = patch[:, 1:, 1:]
-            sampled = (
-                v00 * (1 - wx) * (1 - wy)
-                + v01 * wx * (1 - wy)
-                + v10 * (1 - wx) * wy
-                + v11 * wx * wy
-            )  # [N, 2r+1(y), 2r+1(x)]
-            # Upstream channel order: first window axis -> x offset.
-            sampled = sampled.swapaxes(1, 2)
-            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
-        return jnp.concatenate(out, axis=-1)
-
-
-    def lookup_span(
-        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
-    ) -> jnp.ndarray:
-        """EXPERIMENTAL: per-(query, patch-row) SPAN gathers.
-
-        Crashed the v5e TPU worker via the remote-compile harness (nested
-        vmap dynamic_slice lowering); kept for re-evaluation on a direct
-        runtime.
-
-        Measured gather rates on v5e: scalar patch-take ~14 cycles/element,
-        long contiguous row-bands ~4.6 cycles/element but 4x the elements.
-        The window's columns are already CONTIGUOUS in the plane row, so
-        the minimal hardware-friendly access is one `span`-wide contiguous
-        slice per (query, patch row): side x span elements per query
-        (~12M/level-set vs 31M scalar / 123M row-band), at span rate.
-        Border clamping is exact: row starts clamp per row, and a small
-        one-hot column remap (MXU) restores per-element column clamps.
-        Numerics identical to lookup_take (verified in tests)."""
-        b, h, w, _ = flow.shape
-        r = radius
-        side = 2 * r + 2
-        n = b * h * w
-
-        ys, xs = jnp.mgrid[0:h, 0:w]
-        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
-        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
-
-        jj = jnp.arange(side, dtype=jnp.int32)
-        out = []
-        for lvl, volume in enumerate(self.pyramid):
-            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
-            span = min(16, lw)  # lane-aligned-ish contiguous slice width
-            cx = base_x / (2.0**lvl)
-            cy = base_y / (2.0**lvl)
-            fx0 = jnp.floor(cx)
-            fy0 = jnp.floor(cy)
-            wx = (cx - fx0)[:, None, None]
-            wy = (cy - fy0)[:, None, None]
-            px = fx0.astype(jnp.int32) - r
-            py = fy0.astype(jnp.int32) - r
-
-            # One contiguous span per (query, patch row), exact row clamp
-            # folded into the start offset.
-            col0 = jnp.clip(px, 0, lw - span)  # [N]
-            row_y = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1)  # [N, side]
-            starts = row_y * lw + col0[:, None]  # [N, side] flat offsets
-
-            spans = jax.vmap(
-                lambda v, ss: jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(v, (s,), (span,))
-                )(ss)
-            )(volume, starts)  # [N, side, span]
-
-            # Column remap (per-element clamp relative to the span start)
-            # as a one-hot contraction on the MXU.
-            col_rel = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1) - col0[:, None]
-            col_sel = jax.nn.one_hot(col_rel, span, dtype=spans.dtype)  # [N, side, span]
-            patch = jnp.einsum(
-                "nrs,ncs->nrc", spans, col_sel, preferred_element_type=jnp.float32
-            )  # [N, side(rows), side(cols)]
-            if border == "zeros":
-                yraw = py[:, None] + jj[None, :]
-                xraw = px[:, None] + jj[None, :]
-                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
-                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
-                patch = patch * vr[:, :, None] * vc[:, None, :]
-
-            v00 = patch[:, :-1, :-1]
-            v01 = patch[:, :-1, 1:]
-            v10 = patch[:, 1:, :-1]
-            v11 = patch[:, 1:, 1:]
-            sampled = (
-                v00 * (1 - wx) * (1 - wy)
-                + v01 * wx * (1 - wy)
-                + v10 * (1 - wx) * wy
-                + v11 * wx * wy
-            )
-            sampled = sampled.swapaxes(1, 2)  # upstream x-major order
-            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
-        return jnp.concatenate(out, axis=-1)
-
-    def lookup_rows(
-        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
-    ) -> jnp.ndarray:
-        """Row-band variant: lookup_take reformulated for the TPU memory system: scalar gathers
-        on TPU run near one element per cycle, so the patch-take version
-        moves ~60M scattered elements per refinement iteration at scalar
-        speed.  Here each query instead gathers `side` CONTIGUOUS plane
-        rows (one sliced gather: hardware-friendly), and the within-patch
-        row remap + column selection become one-hot contractions on the
-        MXU.  Numerics identical to lookup() (same clamped patch
-        coordinates, same shared-fraction bilinear)."""
-        b, h, w, _ = flow.shape
-        r = radius
-        side = 2 * r + 2
-        n = b * h * w
-
-        ys, xs = jnp.mgrid[0:h, 0:w]
-        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(n)
-        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(n)
-
-        jj = jnp.arange(side, dtype=jnp.int32)
-        out = []
-        for lvl, volume in enumerate(self.pyramid):
-            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
-            cx = base_x / (2.0**lvl)
-            cy = base_y / (2.0**lvl)
-            fx0 = jnp.floor(cx)
-            fy0 = jnp.floor(cy)
-            wx = (cx - fx0)[:, None, None]
-            wy = (cy - fy0)[:, None, None]
-            px = fx0.astype(jnp.int32) - r
-            py = fy0.astype(jnp.int32) - r
-
-            # Contiguous row-band gather at a clamped per-query row origin
-            # (band shrinks at deep levels where the plane has fewer than
-            # `side` rows).  The band is a CONTIGUOUS span of the flat
-            # [N, lh*lw] row, so the slice happens in flat layout — a 3D
-            # [N, lh, lw] view would force a multi-GB padded-layout copy
-            # inside the refinement loop.
-            band = min(side, lh)
-            origin = jnp.clip(py, 0, lh - band)
-            rows = jax.vmap(
-                lambda v, o: jax.lax.dynamic_slice(v, (o,), (band * lw,))
-            )(volume, origin * lw)  # [N, band*lw]
-            rows = rows.reshape(n, band, lw)
-
-            # Row remap (edge-replicate clamp) relative to the band origin,
-            # as a one-hot contraction (MXU, not gather).
-            row_idx = jnp.clip(py[:, None] + jj[None, :], 0, lh - 1) - origin[:, None]
-            row_sel = jax.nn.one_hot(row_idx, band, dtype=rows.dtype)  # [N, side, band]
-            rows = jnp.einsum(
-                "nsr,nrw->nsw", row_sel, rows, preferred_element_type=jnp.float32
-            )  # [N, side, lw] f32
-
-            # Column selection, also one-hot.
-            col_idx = jnp.clip(px[:, None] + jj[None, :], 0, lw - 1)  # [N, side]
-            col_sel = jax.nn.one_hot(col_idx, lw, dtype=volume.dtype)  # [N, side, lw]
-            patch = jnp.einsum(
-                "nsw,ncw->nsc", rows, col_sel, preferred_element_type=jnp.float32
-            )  # [N, side(rows), side(cols)]
-            if border == "zeros":
-                yraw = py[:, None] + jj[None, :]
-                xraw = px[:, None] + jj[None, :]
-                vr = ((yraw >= 0) & (yraw < lh)).astype(jnp.float32)
-                vc = ((xraw >= 0) & (xraw < lw)).astype(jnp.float32)
-                patch = patch * vr[:, :, None] * vc[:, None, :]
-
-            v00 = patch[:, :-1, :-1]
-            v01 = patch[:, :-1, 1:]
-            v10 = patch[:, 1:, :-1]
-            v11 = patch[:, 1:, 1:]
-            sampled = (
-                v00 * (1 - wx) * (1 - wy)
-                + v01 * wx * (1 - wy)
-                + v10 * (1 - wx) * wy
-                + v11 * wx * wy
-            )
-            sampled = sampled.swapaxes(1, 2)  # upstream x-major order
-            out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
-        return jnp.concatenate(out, axis=-1)
-
-
-def choose_group(lh: int, lw: int, dtype=jnp.bfloat16) -> int:
-    """Row-group size g for the dense-lookup volume layout
-    [N, ceil(lh/g), g*lw] (stored tile-ALIGNED, see DenseCorrPyramid.build):
-    minimize the aligned (sublane x lane) footprint — sublanes round to a
-    multiple of 8, lanes to a multiple of 128 (measured from XLA HBM
-    dumps on v5e, T(8,128)(2,1)) — subject to g*lw <= 512 so the
-    [N, side, g*lw] band intermediates inside the refinement loop stay
-    small (big groups make the volume compact but blow up per-iteration
-    traffic)."""
-    best_g, best_size = 1, None
-    for g in range(1, min(65, 2 * lh)):
-        if g * lw > 512 and g > 1:
-            break
-        nh = -(-lh // g)
-        size = -(-nh // 8) * 8 * (-(-(g * lw) // 128) * 128)
-        if best_size is None or size < best_size:
-            best_g, best_size = g, size
-    return best_g
-
-
-def aligned_group_dims(lh: int, lw: int, g: int) -> Tuple[int, int]:
-    """Tile-aligned storage dims for a grouped level: rows to a multiple
-    of 8, lanes to a multiple of 128."""
-    nh = -(-lh // g)
-    return -(-nh // 8) * 8, -(-(g * lw) // 128) * 128
-
-
-class DenseCorrPyramid:
-    """Materialized pyramid with a GATHER-FREE lookup.
-
-    XLA's TPU gather moves ~12.5 cycles/element (measured,
-    tpuflow/kernels/__init__.py), making the radius lookup ~99% of MOFNet
-    runtime.  This lookup instead STREAMS each volume through the MXU with
-    per-query one-hot selection matrices:
-
-        bands = R @ V        R: [side, nh] one-hot row-group select
-        bands *= phase_mask  (lane // lw == row % g, fused elementwise)
-        patch = bands @ C^T  C: [side, g*lw] one-hot column select
-
-    Cost is one full read of the volume per lookup at streaming bandwidth
-    plus rank-deficient matmuls — ~25x faster than the measured gather at
-    1280-tile shapes, entirely in XLA (no Pallas, no Mosaic constraints).
-    One-hot matmul selection is exact (products are 1.0 * v, f32
-    accumulation of a single nonzero term), so numerics are identical to
-    CorrPyramid.lookup: same clamps, same shared-fraction f32 bilinear.
-
-    Storage: levels as [N, ceil(lh/g), g*lw] (row-major regroup of the
-    flat layout, zero row padding), g per level from choose_group.
-    """
-
-    def __init__(
-        self,
-        pyramid: List[jnp.ndarray],
-        shape: Tuple[int, int, int],
-        target_dims: Optional[Tuple[int, int]] = None,
-    ):
-        self.pyramid = pyramid  # grouped levels [B*H*W, nh, g*lw]
-        self.b, self.h, self.w = shape
-        self.h2, self.w2 = target_dims if target_dims is not None else (self.h, self.w)
-
-    @classmethod
-    def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
-        """Volume build in query chunks, each written DIRECTLY into the
-        tile-aligned grouped layout.
-
-        Two constraints shape this code (both measured on v5e, see the
-        MOFNet docstring):
-        - a lax.map-stacked volume gets an exotic XLA layout whose
-          relayout to the lookup's layout costs more HBM than the chip
-          has, so levels are built by plain dots + layout-preserving
-          reshapes/pads only;
-        - the full unaligned volume must never coexist with its aligned
-          copy (that chain held ~11 GB of temps), so each query chunk's
-          dot output is padded into the aligned [N, nh_a, gw_a] form
-          immediately and the unaligned chunk is dropped.
-        Aligned shapes (rows mult 8, lanes mult 128, explicit zeros) have
-        a single possible layout, so the encode/refine jit boundary moves
-        these arrays with zero copies; the lookup's row/phase masks keep
-        the alignment zeros inert."""
-        b, h, w, c = fmap1.shape
-        h2, w2 = fmap2.shape[1], fmap2.shape[2]
-        scale = 1.0 / float(np.sqrt(c))
-        dt = fmap1.dtype
-
-        def align_level(x, lh, lw):
-            """[Nc, lh, lw] plane chunk -> aligned [Nc, nh_a, gw_a]."""
-            nc = x.shape[0]
-            g = choose_group(lh, lw, dt)
-            nh = -(-lh // g)
-            nh_a, gw_a = aligned_group_dims(lh, lw, g)
-            if nh * g != lh:
-                x = jnp.pad(x, ((0, 0), (0, nh * g - lh), (0, 0)))
-            x = x.reshape(nc, nh, g * lw)
-            if (nh_a, gw_a) != (nh, g * lw):
-                x = jnp.pad(x, ((0, 0), (0, nh_a - nh), (0, gw_a - g * lw)))
-            return x
-
-        def pool(x):
-            nc, lh, lw = x.shape
-            x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
-            return x.reshape(nc, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
-
-        rows = max(1, min(h * w, int(1.5e9 / max(1, 4 * b * h2 * w2))))
-        nchunks = -(-(h * w) // rows)
-        f1 = fmap1.reshape(b, h * w, c)
-        f2 = fmap2.reshape(b, h2 * w2, c)
-        lvl0_parts, lvl1_parts = [], []
-        for i in range(nchunks):
-            blk = jnp.einsum(
-                "bnc,bmc->bnm",
-                f1[:, i * rows : (i + 1) * rows],
-                f2,
-                preferred_element_type=jnp.float32,
-            )
-            r = blk.shape[1]
-            blk = (blk * scale).astype(dt).reshape(b * r, h2, w2)
-            lvl0_parts.append(
-                align_level(blk, h2, w2).reshape(b, r, *aligned_group_dims(
-                    h2, w2, choose_group(h2, w2, dt)))
-            )
-            if num_levels > 1:
-                p = pool(blk)
-                lvl1_parts.append(p.reshape(b, r, *p.shape[1:]))
-        # Chunk batch order is [b, rows]: concat along the row axis keeps
-        # n = b * hw + row major order after the final reshape.
-        lvl0 = lvl0_parts[0] if nchunks == 1 else jnp.concatenate(lvl0_parts, axis=1)
-        pyramid = [lvl0.reshape(b * h * w, *lvl0.shape[2:])]
-        if num_levels > 1:
-            x = lvl1_parts[0] if nchunks == 1 else jnp.concatenate(lvl1_parts, axis=1)
-            x = x.reshape(b * h * w, *x.shape[2:])
-            for lvl in range(1, num_levels):
-                lh, lw = pyramid_level_dims(h2, w2, lvl)
-                pyramid.append(align_level(x, lh, lw))
-                if lvl + 1 < num_levels:
-                    x = pool(x)
         return cls(pyramid, (b, h, w), (h2, w2))
 
     def lookup(
@@ -1048,36 +616,6 @@ class DenseCorrPyramid:
 
 def corr_feature_dim(num_levels: int, radius: int) -> int:
     return num_levels * (2 * radius + 1) ** 2
-
-
-def _bilinear_gather_features(
-    fmap: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
-) -> jnp.ndarray:
-    """Sample feature map [N, H, W, C] at float coords x, y [N, P],
-    border-clamped.  Returns [N, P, C]."""
-    n, h, w, c = fmap.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
-    x0u = x0.astype(jnp.int32)
-    y0u = y0.astype(jnp.int32)
-    x0i = jnp.clip(x0u, 0, w - 1)
-    x1i = jnp.clip(x0u + 1, 0, w - 1)
-    y0i = jnp.clip(y0u, 0, h - 1)
-    y1i = jnp.clip(y0u + 1, 0, h - 1)
-
-    batch_idx = jnp.arange(n)[:, None]
-    v00 = fmap[batch_idx, y0i, x0i]
-    v01 = fmap[batch_idx, y0i, x1i]
-    v10 = fmap[batch_idx, y1i, x0i]
-    v11 = fmap[batch_idx, y1i, x1i]
-    return (
-        v00 * (1 - wx) * (1 - wy)
-        + v01 * wx * (1 - wy)
-        + v10 * (1 - wx) * wy
-        + v11 * wx * wy
-    )
 
 
 def _avg_pool_features(fmap: jnp.ndarray) -> jnp.ndarray:

@@ -41,17 +41,31 @@ Variants already tried (all numerics-equal, tests enforce):
                dynamic_slice lowering CRASHED the v5e worker under the
                remote-compile harness; quarantined.
 
-## Round-2 plan (in priority order)
+## Round-2 outcome (see docs/ROUND2_NOTES.md for the measurements)
 
-1. Pallas lookup kernel: grid over query blocks; scalar-prefetch the
-   per-query patch origins; per-query strided (2r+2)x(2r+2) DMA
-   HBM->VMEM with double buffering; bilinear combine on the VPU.
-   Expected ~0.2-0.5 us/query => ~30-60ms/iteration-direction.
-2. Block-dense fallback: per 8x8 query block, slice one clamped
-   ~56x56 region (400 large slices instead of 76800 small gathers),
-   then per-query one-hot row/col selection on the MXU.  ~4x estimated;
-   deviates only for >2x-block-size intra-block flow divergence.
-3. On-the-fly blockwise correlation in Pallas (never materialize the
-   volume): MXU matmul per (query block, region) — also unlocks
-   full-frame 4K.
+The gather formulation was replaced at the XLA level instead of dropping
+to Pallas: the production lookup is now a one-hot row/column-select
+MATMUL over tile-ALIGNED grouped volumes ([N, mult8, mult128], explicit
+zeros) that cross an encode/refine jit split as arguments
+(core/corr.py:DenseCorrPyramid, core/mofnet.py, runtime/engine.py).
+That removed both the scalar-gather floor and XLA's in-loop
+remat-relayout of jit-internal volumes: 12-iteration 2-direction lookup
+0.73 s -> 0.34 s at the 1280-tile, whole-window bench 0.046 -> 0.523
+frames/s stride-1 across the round.
+
+## Round-3 plan (in priority order)
+
+1. Pallas fused lookup: the remaining 0.34 s is materialization traffic
+   (bands/C/patch intermediates, ~2x the volume bytes).  A kernel that
+   builds the one-hot selects in VMEM and streams the volume once would
+   approach the ~10 ms/iteration bandwidth floor.  Bring-up rule from
+   round 1 still stands: interpret mode on CPU first; nested-vmap
+   dynamic_slice lowering CRASHED the v5e worker via the remote-compile
+   harness.
+2. On-the-fly blockwise correlation in Pallas (never materialize the
+   volume): MXU matmul per (query block, region) — the only viable
+   full-frame 4K path; the XLA OnTheFlyCorr fallback is correct but
+   scalar-gather-bound (~30 min/lookup at 2160p).
+3. Pallas fused PCBlock (SK update stack measures ~6x off its FLOP
+   floor).
 """
