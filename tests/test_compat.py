@@ -9,7 +9,7 @@ from tpuflow.runtime.engine import FlowEngine
 
 
 def tiny_engine(model="videoflow", seq=3):
-    cfg = ModelConfig(model=model, sequence_length=seq)
+    cfg = ModelConfig(model=model, sequence_length=seq, encoder="cnn")
     for k, v in dict(decoder_depth=1, corr_levels=2, corr_radius=2,
                      feature_dim=32, hidden_dim=16, context_dim=16).items():
         object.__setattr__(cfg, k, v)

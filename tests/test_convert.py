@@ -102,7 +102,7 @@ def test_low_match_rate_hard_fails(tmp_path):
 
     path = str(tmp_path / "bogus.pth")
     torch.save({"nothing.weight": torch.ones(3, 3)}, path)
-    cfg = ModelConfig(sequence_length=3)
+    cfg = ModelConfig(sequence_length=3, encoder="cnn")
     for k, v in dict(decoder_depth=1, corr_levels=2, corr_radius=2,
                      feature_dim=32, hidden_dim=16, context_dim=16).items():
         object.__setattr__(cfg, k, v)
@@ -178,3 +178,30 @@ def test_module_prefix_stripping(tmp_path):
     torch.save(sd, path)
     loaded = load_torch_state_dict(path)
     assert set(loaded) == {"conv.weight", "conv.bias"}
+
+
+def test_real_checkpoint_conversion_smoke():
+    """If real checkpoints are present (VideoFlow_ckpt/ / MemFlow_ckpt/ —
+    the reference's naming contract, videoflow_core.py:79-85), run the
+    introspection path over each so a mismatch surfaces as a readable
+    report instead of a crash at load time (VERDICT r2 #8)."""
+    import glob
+
+    from tpuflow.runtime.convert import (
+        describe_state_dict,
+        load_torch_state_dict,
+        suggest_mapping,
+    )
+
+    paths = sorted(
+        glob.glob("VideoFlow_ckpt/*.pth") + glob.glob("MemFlow_ckpt/*.pth")
+    )
+    if not paths:
+        pytest.skip("no real checkpoints under VideoFlow_ckpt/ or MemFlow_ckpt/")
+    pytest.importorskip("torch")
+    for path in paths:
+        sd = load_torch_state_dict(path)
+        assert sd, f"{path}: empty state dict"
+        report = describe_state_dict(sd)
+        assert "TOTAL" in report
+        print(f"\n=== {path} ===\n{report}")

@@ -14,7 +14,7 @@ from tpuflow.runtime.windows import (
 
 
 def tiny_cfg(**kw):
-    base = dict(model="videoflow", architecture="mof", sequence_length=5)
+    base = dict(model="videoflow", architecture="mof", sequence_length=5, encoder="cnn")
     base.update(kw)
     cfg = ModelConfig(**base)
     # Shrink the net for test speed.

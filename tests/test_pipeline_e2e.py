@@ -29,7 +29,7 @@ def make_synthetic_video(path: str, n=8, w=64, h=48, fps=10.0):
 
 
 def tiny_engine(model="videoflow", seq=3):
-    cfg = ModelConfig(model=model, sequence_length=seq)
+    cfg = ModelConfig(model=model, sequence_length=seq, encoder="cnn")
     for k, v in dict(
         decoder_depth=2, corr_levels=2, corr_radius=2,
         feature_dim=64, hidden_dim=32, context_dim=32,

@@ -20,7 +20,7 @@ needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual dev
 
 
 def tiny_cfg(**kw):
-    base = dict(model="videoflow", architecture="mof", sequence_length=3)
+    base = dict(model="videoflow", architecture="mof", sequence_length=3, encoder="cnn")
     base.update(kw)
     cfg = ModelConfig(**base)
     for k, v in dict(

@@ -115,7 +115,7 @@ def test_strided_engine_covers_all_frames():
     from tpuflow.config import ModelConfig
     from tpuflow.runtime.engine import FlowEngine
 
-    cfg = ModelConfig(sequence_length=5)
+    cfg = ModelConfig(sequence_length=5, encoder="cnn")
     for k, v in dict(decoder_depth=1, corr_levels=2, corr_radius=2,
                      feature_dim=32, hidden_dim=16, context_dim=16).items():
         object.__setattr__(cfg, k, v)

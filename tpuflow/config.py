@@ -42,6 +42,13 @@ class ModelConfig:
     fast_mode: bool = False
     sequence_length: int = 5
 
+    # Feature/context encoder backbone: 'twins' (Twins-SVT, the upstream
+    # checkpoint-parity architecture — videoflow_core.py:101-110 builds the
+    # net whose fnet/cnet are twins_svt_large, requirements.txt:13 pins
+    # timm for it) or 'cnn' (RAFT BasicEncoder — lighter, NOT
+    # weight-compatible with the released checkpoints).
+    encoder: str = "twins"
+
     # Architecture hyper-parameters (RAFT/SKFlow family defaults).
     decoder_depth: int = DEFAULT_DECODER_DEPTH
     corr_levels: int = DEFAULT_CORR_LEVELS
@@ -114,6 +121,7 @@ class PipelineConfig:
     vf_architecture: str = "mof"
     vf_variant: str = "standard"
     # tpu-native extensions (not in the reference CLI)
+    encoder: str = "twins"             # 'twins' (upstream parity) | 'cnn'
     allow_random_init: bool = False    # run without a checkpoint (garbage flows)
     batch_frames: int = 1              # windows batched per device step
     tile_overlap: int = 0              # optional halo blend (0 = reference hard paste)
@@ -129,6 +137,7 @@ class PipelineConfig:
             dataset=self.vf_dataset,
             variant=self.vf_variant,
             stage=self.stage,
+            encoder=self.encoder,
             fast_mode=self.fast,
             sequence_length=max(2, self.sequence_length)
             if self.model == "memflow"

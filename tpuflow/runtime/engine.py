@@ -61,7 +61,10 @@ def default_compute_dtype():
     return jnp.float32 if backend == "cpu" else jnp.bfloat16
 
 
-def build_model(cfg: ModelConfig, encoder: str = "cnn", dtype=None):
+def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None):
+    """`encoder=None` follows cfg.encoder (default 'twins' — the upstream
+    checkpoint-parity backbone, videoflow_core.py:101-110)."""
+    encoder = encoder or cfg.encoder
     kw = dict(
         corr_levels=cfg.corr_levels,
         corr_radius=cfg.corr_radius,
@@ -87,7 +90,7 @@ class FlowEngine:
     def __init__(
         self,
         config: ModelConfig,
-        encoder: str = "cnn",
+        encoder: Optional[str] = None,
         params=None,
         seed: int = 0,
         device: Optional[jax.Device] = None,
@@ -543,6 +546,16 @@ class FlowEngine:
             or (h <= tile_size and w <= tile_size)
             or self.mesh is not None
         ):
+            if self.mesh is not None and not (h <= tile_size and w <= tile_size):
+                import warnings
+
+                warnings.warn(
+                    "data-parallel tile mode computes per-window (tiles shard "
+                    "across the mesh) and loses the stride-1 per-frame "
+                    "feature-reuse saving (~(T-1)/T of encoder work); run "
+                    "single-device for the feature-cached loop",
+                    stacklevel=2,
+                )
             return np.stack(
                 [
                     self.compute_flow_tiled(frames, i, tile_size, overlap)

@@ -104,6 +104,7 @@ def args_to_config(args: argparse.Namespace) -> PipelineConfig:
         vf_dataset=args.vf_dataset,
         vf_architecture=args.vf_architecture,
         vf_variant=args.vf_variant,
+        encoder=args.encoder,
         allow_random_init=args.allow_random_init,
         batch_frames=args.batch_frames,
         tile_overlap=args.tile_overlap,
