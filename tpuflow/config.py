@@ -60,6 +60,12 @@ class ModelConfig:
     memory_capacity: int = 8
     use_rope: bool = False
 
+    # Correlation implementation (core/corr.py make_corr): 'auto' picks
+    # per-shape; 'flash' routes level 0 through the fused Pallas
+    # recompute-on-lookup kernel (kernels/flashcorr.py — TPU only);
+    # 'dense' | 'gather' | 'direct' force the XLA paths.
+    corr_impl: str = "auto"
+
     def __post_init__(self):
         if self.fast_mode:
             # Mirror the reference's fast-mode overrides

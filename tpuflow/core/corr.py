@@ -437,10 +437,15 @@ class DenseCorrPyramid:
         pyramid: List[jnp.ndarray],
         shape: Tuple[int, int, int],
         target_dims: Optional[Tuple[int, int]] = None,
+        level_offset: int = 0,
     ):
         self.pyramid = pyramid  # grouped levels [B*H*W, nh, g*lw]
         self.b, self.h, self.w = shape
         self.h2, self.w2 = target_dims if target_dims is not None else (self.h, self.w)
+        # When this pyramid holds only the DEEP levels of a larger one
+        # (FlashCorr hybrid), `level_offset` shifts the per-level scale:
+        # stored level i is semantic level i + level_offset.
+        self.level_offset = level_offset
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
@@ -528,7 +533,8 @@ class DenseCorrPyramid:
 
         jj = jnp.arange(side, dtype=jnp.int32)
         out = []
-        for lvl, volume in enumerate(self.pyramid):
+        for lvl0, volume in enumerate(self.pyramid):
+            lvl = lvl0 + self.level_offset
             lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
             gw = volume.shape[2]
             # g is a pure function of the level dims (the stored gw is
@@ -771,6 +777,151 @@ class OnTheFlyCorr:
         return out
 
 
+class FlashCorr:
+    """Correlation lookup through the fused Pallas kernel
+    (tpuflow.kernels.flashcorr): each query's correlation row is
+    RECOMPUTED on the MXU from VMEM-resident pooled-feature chunks and
+    the (2r+2)^2 patch extracted in VMEM — no volume bytes in HBM, no
+    volume build in encode, constant VMEM in grid size (the full-frame
+    >=4K path).
+
+    Storage: fmap1 [B, H, W, C]; leading `flash_levels` pyramid levels as
+    PADDED pooled target features [B, lh_pad, lw_pad, C]; optionally the
+    remaining deep levels as a DenseCorrPyramid (they are tiny — at the
+    1280-tile, levels 1-3 total ~0.9 GB vs 2.8 GB for level 0 — and the
+    dense lookup amortizes better at small M).
+
+    Numerics: patch entries are exact volume values (one-hot selects, f32
+    MXU accumulate * 1/sqrt(C), feature-dtype at rest) — identical to
+    DenseCorrPyramid for level 0; deeper levels pool FEATURES rather than
+    volumes, exact up to float reassociation (same contract as
+    OnTheFlyCorr; tests bound the difference).
+    """
+
+    def __init__(
+        self,
+        fmap1: jnp.ndarray,
+        flash_pyr: List[jnp.ndarray],
+        dense: Optional["DenseCorrPyramid"] = None,
+    ):
+        self.fmap1 = fmap1
+        self.flash_pyr = flash_pyr
+        self.dense = dense
+
+    @classmethod
+    def build(
+        cls,
+        fmap1: jnp.ndarray,
+        fmap2: jnp.ndarray,
+        num_levels: int = 4,
+        flash_levels: Optional[int] = None,
+        dense_budget: int = 2 * 10**9,
+    ):
+        """flash_levels=None picks the split automatically: level 0 goes
+        through the kernel (it is ~75% of the volume bytes and compute);
+        deeper levels stay dense while their volumes fit `dense_budget`
+        bytes, otherwise they go through the kernel too (full-frame 4K)."""
+        from ..kernels.flashcorr import pad_f2_level
+
+        b, h, w, c = fmap1.shape
+        h2, w2 = fmap2.shape[1], fmap2.shape[2]
+        pooled = [fmap2]
+        for _ in range(num_levels - 1):
+            pooled.append(_avg_pool_features(pooled[-1]))
+
+        if flash_levels is None:
+            deep = sum(
+                pyramid_level_dims(h2, w2, l)[0] * pyramid_level_dims(h2, w2, l)[1]
+                for l in range(1, num_levels)
+            )
+            deep_bytes = b * h * w * deep * fmap1.dtype.itemsize
+            flash_levels = 1 if deep_bytes <= dense_budget else num_levels
+        flash_levels = max(1, min(num_levels, flash_levels))
+
+        flash_pyr = [pad_f2_level(p) for p in pooled[:flash_levels]]
+        dense = None
+        if flash_levels < num_levels:
+            sub = DenseCorrPyramid.build(
+                fmap1, pooled[flash_levels], num_levels - flash_levels
+            )
+            dense = DenseCorrPyramid(
+                sub.pyramid, (b, h, w), (h2, w2), level_offset=flash_levels
+            )
+        return cls(fmap1, flash_pyr, dense)
+
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
+        """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32; same contracts as
+        CorrPyramid.lookup (zero-pad border, upstream x-major window
+        order)."""
+        from ..kernels.flashcorr import flash_patch_level
+
+        b, h, w, _ = flow.shape
+        c = self.fmap1.shape[-1]
+        # MOF/MemFlow correlate same-resolution frames: target grid ==
+        # query grid (the padded flash_pyr dims are storage-only).
+        h2, w2 = (self.dense.h2, self.dense.w2) if self.dense else (h, w)
+        r = radius
+        side = 2 * r + 2
+        hw = h * w
+        interpret = jax.default_backend() != "tpu"
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
+        f1 = self.fmap1.reshape(b, hw, c)
+
+        jj = jnp.arange(side, dtype=jnp.int32)
+        out = []
+        for lvl, f2pad in enumerate(self.flash_pyr):
+            lh, lw = pyramid_level_dims(h2, w2, lvl)
+            cx = base_x / (2.0**lvl)
+            cy = base_y / (2.0**lvl)
+            fx0 = jnp.floor(cx)
+            fy0 = jnp.floor(cy)
+            wx = (cx - fx0)[:, :, None, None]  # [B, hw, 1, 1]
+            wy = (cy - fy0)[:, :, None, None]
+            px = fx0.astype(jnp.int32) - r
+            py = fy0.astype(jnp.int32) - r
+
+            yraw = py[:, :, None] + jj[None, None, :]  # [B, hw, side]
+            xraw = px[:, :, None] + jj[None, None, :]
+            rr = jnp.clip(yraw, 0, lh - 1)
+            cc = jnp.clip(xraw, 0, lw - 1)
+
+            patch = flash_patch_level(
+                f1, f2pad, rr, cc, lh=lh, lw=lw, side=side, interpret=interpret
+            )                                           # [B, hw, side, side]
+            dt = patch.dtype
+            if border == "zeros":
+                vr = ((yraw >= 0) & (yraw < lh)).astype(dt)
+                vc = ((xraw >= 0) & (xraw < lw)).astype(dt)
+                patch = patch * vr[:, :, :, None] * vc[:, :, None, :]
+
+            v00 = patch[:, :, :-1, :-1]
+            v01 = patch[:, :, :-1, 1:]
+            v10 = patch[:, :, 1:, :-1]
+            v11 = patch[:, :, 1:, 1:]
+            wxd = wx.astype(dt)
+            wyd = wy.astype(dt)
+            sampled = (
+                v00 * (1 - wxd) * (1 - wyd)
+                + v01 * wxd * (1 - wyd)
+                + v10 * (1 - wxd) * wyd
+                + v11 * wxd * wyd
+            )                                           # [B, hw, 2r+1, 2r+1]
+            sampled = sampled.swapaxes(2, 3)  # upstream x-major order
+            out.append(
+                sampled.reshape(b, h, w, (2 * r + 1) ** 2).astype(jnp.float32)
+            )
+        flash_out = jnp.concatenate(out, axis=-1)
+        if self.dense is None:
+            return flash_out
+        dense_out = self.dense.lookup(flow, radius, border)
+        return jnp.concatenate([flash_out, dense_out], axis=-1)
+
+
 def make_corr(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
@@ -791,6 +942,8 @@ def make_corr(
         return CorrPyramid.build(fmap1, fmap2, num_levels)
     if impl == "direct":
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
+    if impl == "flash":
+        return FlashCorr.build(fmap1, fmap2, num_levels)
     hw = fmap1.shape[1] * fmap1.shape[2]
     if hw > materialize_threshold:
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)

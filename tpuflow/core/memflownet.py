@@ -36,7 +36,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
+from .corr import (
+    CorrPyramid,
+    DenseCorrPyramid,
+    FlashCorr,
+    OnTheFlyCorr,
+    make_corr,
+)
 from .encoders import make_encoder
 from .gma import Attention, _pick_chunk, materialize_attention
 from .sk import SKUpdateBlockMem
@@ -180,18 +186,28 @@ class _MemCarry(NamedTuple):
 
 def _corr_state(corr) -> Tuple:
     """Arrays-only pytree (shape info reconstructed from the query grid)."""
+    if isinstance(corr, FlashCorr):
+        dense = tuple(corr.dense.pyramid) if corr.dense is not None else ()
+        return (corr.fmap1, tuple(corr.flash_pyr), dense)
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
     return (None, tuple(corr.pyramid))
 
 
 def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
+    n, h, w = grid
+    if impl == "FlashCorr":
+        fmap1, flash_pyr, dense_pyr = state
+        dense = None
+        if dense_pyr:
+            dense = DenseCorrPyramid(
+                list(dense_pyr), (n, h, w), (h, w), level_offset=len(flash_pyr)
+            )
+        return FlashCorr(fmap1, list(flash_pyr), dense)
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
     if impl == "DenseCorrPyramid":
-        n, h, w = grid
         return DenseCorrPyramid(list(state[1]), (n, h, w), (h, w))
-    n, h, w = grid
     return CorrPyramid(list(state[1]), (n, h, w), (h, w))
 
 

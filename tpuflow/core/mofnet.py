@@ -46,7 +46,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .corr import CorrPyramid, DenseCorrPyramid, OnTheFlyCorr, make_corr
+from .corr import (
+    CorrPyramid,
+    DenseCorrPyramid,
+    FlashCorr,
+    OnTheFlyCorr,
+    make_corr,
+)
 from .encoders import make_encoder
 from .gma import Attention, materialize_attention
 from .sk import SKUpdateBlockMOF
@@ -84,6 +90,9 @@ class MOFEncoded(NamedTuple):
 
 def _corr_state(corr) -> Tuple:
     """Flatten a correlation object into an arrays-only pytree."""
+    if isinstance(corr, FlashCorr):
+        dense = tuple(corr.dense.pyramid) if corr.dense is not None else ()
+        return (corr.fmap1, tuple(corr.flash_pyr), dense)
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
     return (None, tuple(corr.pyramid))
@@ -91,11 +100,19 @@ def _corr_state(corr) -> Tuple:
 
 def _corr_from_state(state: Tuple, grid: Tuple[int, int, int]):
     """Rebuild the correlation object from its arrays-only state.  The
-    implementation is inferred structurally: OnTheFly carries fmap1;
-    DenseCorrPyramid levels are grouped 3D [N, nh, gw]; CorrPyramid
-    levels are flat 2D [N, lh*lw]."""
-    fmap1, pyramid = state
+    implementation is inferred structurally: FlashCorr is a 3-tuple;
+    OnTheFly carries fmap1; DenseCorrPyramid levels are grouped 3D
+    [N, nh, gw]; CorrPyramid levels are flat 2D [N, lh*lw]."""
     n, h, w = grid
+    if len(state) == 3:
+        fmap1, flash_pyr, dense_pyr = state
+        dense = None
+        if dense_pyr:
+            dense = DenseCorrPyramid(
+                list(dense_pyr), (n, h, w), (h, w), level_offset=len(flash_pyr)
+            )
+        return FlashCorr(fmap1, list(flash_pyr), dense)
+    fmap1, pyramid = state
     if fmap1 is not None:
         return OnTheFlyCorr(fmap1, list(pyramid))
     if pyramid[0].ndim == 3:
@@ -111,6 +128,7 @@ class _MOFIteration(nn.Module):
     corr_levels: int
     corr_radius: int
     dtype: Any = jnp.float32
+    gma_impl: str = "auto"
 
     @nn.compact
     def __call__(self, carry: "_MOFCarry", consts):
@@ -131,6 +149,7 @@ class _MOFIteration(nn.Module):
             corr_levels=self.corr_levels,
             corr_radius=self.corr_radius,
             dtype=self.dtype,
+            gma_impl=self.gma_impl,
             name="update_block",
         )
         net, mhs, mask, delta = update(
@@ -161,6 +180,9 @@ class MOFNet(nn.Module):
     encoder: str = "cnn"             # 'cnn' | 'twins'
     corr_dtype: Any = jnp.bfloat16   # cost-volume storage dtype (HBM saver)
     corr_impl: str = "auto"          # 'auto' | 'materialized' | 'direct'
+    gma_impl: str = "auto"           # GMA apply: 'auto' (flash on TPU,
+                                     # materialize/chunk elsewhere) |
+                                     # 'flash' | 'xla' (see gma.Aggregate)
     scan_iters: bool = True          # lax.scan the refinement loop
                                      # (False = Python unroll: needed for
                                      # reverse-mode AD through the
@@ -193,6 +215,7 @@ class MOFNet(nn.Module):
             corr_levels=self.corr_levels,
             corr_radius=self.corr_radius,
             dtype=self.dtype,
+            gma_impl=self.gma_impl,
         )
         if self.scan_iters:
             self.iteration = nn.scan(
@@ -311,7 +334,16 @@ class MOFNet(nn.Module):
         # bigger grids keep the chunked recompute inside Aggregate.
         attn = encoded.attn
         hw = h8 * w8
-        if attn is None and bn * hw * hw * 2 <= self.attn_mem_budget:
+        # With the flash kernel the probabilities are recomputed in VMEM
+        # each application — materializing them would only burn HBM.
+        use_flash = self.gma_impl == "flash" or (
+            self.gma_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if (
+            attn is None
+            and not use_flash
+            and bn * hw * hw * 2 <= self.attn_mem_budget
+        ):
             attn = materialize_attention(encoded.q, encoded.k, out_dtype=self.dtype)
 
         carry = _MOFCarry(

@@ -175,6 +175,7 @@ class SKUpdateBlockMem(nn.Module):
     k_conv: Sequence[int] = (1, 15)
     pc_updater_conv: Sequence[int] = (1, 7)
     dtype: Dtype = jnp.float32
+    gma_impl: str = "auto"
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, q, k, mem_read, attn=None):
@@ -183,9 +184,9 @@ class SKUpdateBlockMem(nn.Module):
         motion = SKMotionEncoderMem(self.k_conv, dtype=self.dtype, name="encoder")(
             flow, corr, mem_read
         )
-        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(
-            q, k, motion, attn
-        )
+        motion_global = Aggregate(
+            dtype=self.dtype, impl=self.gma_impl, name="aggregator"
+        )(q, k, motion, attn)
 
         x = jnp.concatenate([net, inp, motion, motion_global], axis=-1)
         net = PCBlock4(self.hidden_dim, self.pc_updater_conv, self.dtype, name="gru")(x)
@@ -215,6 +216,7 @@ class SKUpdateBlockMOF(nn.Module):
     k_conv: Sequence[int] = (1, 15)
     pc_updater_conv: Sequence[int] = (1, 7)
     dtype: Dtype = jnp.float32
+    gma_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -232,9 +234,9 @@ class SKUpdateBlockMOF(nn.Module):
         motion_features, motion_hidden_state = encoder(
             flow, motion_hidden_state, corr, bs
         )
-        motion_global = Aggregate(dtype=self.dtype, name="aggregator")(
-            q, k, motion_features, attn
-        )
+        motion_global = Aggregate(
+            dtype=self.dtype, impl=self.gma_impl, name="aggregator"
+        )(q, k, motion_features, attn)
 
         x = jnp.concatenate([net, inp, motion_features, motion_global], axis=-1)
         net = PCBlock4(self.hidden_dim, self.pc_updater_conv, self.dtype, name="gru")(x)

@@ -73,6 +73,7 @@ def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None):
         hidden_dim=cfg.hidden_dim,
         context_dim=cfg.context_dim,
         encoder=encoder,
+        corr_impl=cfg.corr_impl,
         dtype=dtype or default_compute_dtype(),
     )
     if cfg.model == "memflow":
