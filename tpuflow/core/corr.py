@@ -18,7 +18,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -872,54 +872,190 @@ class FlashCorr:
         base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
         f1 = self.fmap1.reshape(b, hw, c)
 
-        jj = jnp.arange(side, dtype=jnp.int32)
         out = []
         for lvl, f2pad in enumerate(self.flash_pyr):
             lh, lw = pyramid_level_dims(h2, w2, lvl)
-            cx = base_x / (2.0**lvl)
-            cy = base_y / (2.0**lvl)
-            fx0 = jnp.floor(cx)
-            fy0 = jnp.floor(cy)
-            wx = (cx - fx0)[:, :, None, None]  # [B, hw, 1, 1]
-            wy = (cy - fy0)[:, :, None, None]
-            px = fx0.astype(jnp.int32) - r
-            py = fy0.astype(jnp.int32) - r
-
-            yraw = py[:, :, None] + jj[None, None, :]  # [B, hw, side]
-            xraw = px[:, :, None] + jj[None, None, :]
-            rr = jnp.clip(yraw, 0, lh - 1)
-            cc = jnp.clip(xraw, 0, lw - 1)
-
+            idx = _radius_patch_indices(base_x, base_y, lvl, lh, lw, r)
             patch = flash_patch_level(
-                f1, f2pad, rr, cc, lh=lh, lw=lw, side=side, interpret=interpret
+                f1, f2pad, idx.rr, idx.cc, lh=lh, lw=lw, side=side,
+                interpret=interpret,
             )                                           # [B, hw, side, side]
-            dt = patch.dtype
-            if border == "zeros":
-                vr = ((yraw >= 0) & (yraw < lh)).astype(dt)
-                vc = ((xraw >= 0) & (xraw < lw)).astype(dt)
-                patch = patch * vr[:, :, :, None] * vc[:, :, None, :]
-
-            v00 = patch[:, :, :-1, :-1]
-            v01 = patch[:, :, :-1, 1:]
-            v10 = patch[:, :, 1:, :-1]
-            v11 = patch[:, :, 1:, 1:]
-            wxd = wx.astype(dt)
-            wyd = wy.astype(dt)
-            sampled = (
-                v00 * (1 - wxd) * (1 - wyd)
-                + v01 * wxd * (1 - wyd)
-                + v10 * (1 - wxd) * wyd
-                + v11 * wxd * wyd
-            )                                           # [B, hw, 2r+1, 2r+1]
-            sampled = sampled.swapaxes(2, 3)  # upstream x-major order
-            out.append(
-                sampled.reshape(b, h, w, (2 * r + 1) ** 2).astype(jnp.float32)
-            )
+            out.append(_patch_to_features(patch, idx, lh, lw, border, (b, h, w, r)))
         flash_out = jnp.concatenate(out, axis=-1)
         if self.dense is None:
             return flash_out
         dense_out = self.dense.lookup(flow, radius, border)
         return jnp.concatenate([flash_out, dense_out], axis=-1)
+
+
+class _PatchIdx(NamedTuple):
+    """Per-level lookup geometry shared by the Pallas patch kernels."""
+
+    yraw: jnp.ndarray  # [B, hw, side] unclamped patch-row indices
+    xraw: jnp.ndarray
+    rr: jnp.ndarray    # clamped to [0, lh)
+    cc: jnp.ndarray    # clamped to [0, lw)
+    wx: jnp.ndarray    # [B, hw, 1, 1] bilinear fractions
+    wy: jnp.ndarray
+
+
+def _radius_patch_indices(base_x, base_y, lvl: int, lh: int, lw: int, r: int):
+    """Window geometry for one pyramid level: (2r+2)-side patch row/col
+    indices around each query's scaled flow target + shared bilinear
+    fractions (CorrPyramid.lookup semantics)."""
+    side = 2 * r + 2
+    jj = jnp.arange(side, dtype=jnp.int32)
+    cx = base_x / (2.0**lvl)
+    cy = base_y / (2.0**lvl)
+    fx0 = jnp.floor(cx)
+    fy0 = jnp.floor(cy)
+    wx = (cx - fx0)[:, :, None, None]  # [B, hw, 1, 1]
+    wy = (cy - fy0)[:, :, None, None]
+    px = fx0.astype(jnp.int32) - r
+    py = fy0.astype(jnp.int32) - r
+    yraw = py[:, :, None] + jj[None, None, :]  # [B, hw, side]
+    xraw = px[:, :, None] + jj[None, None, :]
+    rr = jnp.clip(yraw, 0, lh - 1)
+    cc = jnp.clip(xraw, 0, lw - 1)
+    return _PatchIdx(yraw, xraw, rr, cc, wx, wy)
+
+
+def _patch_to_features(patch, idx: _PatchIdx, lh, lw, border, shape):
+    """(2r+2)^2 exact-value patch -> (2r+1)^2 bilinear features: border
+    zeroing, shared-fraction bilinear, upstream x-major channel order.
+    Identical math to DenseCorrPyramid.lookup's epilogue."""
+    b, h, w, r = shape
+    dt = patch.dtype
+    if border == "zeros":
+        vr = ((idx.yraw >= 0) & (idx.yraw < lh)).astype(dt)
+        vc = ((idx.xraw >= 0) & (idx.xraw < lw)).astype(dt)
+        patch = patch * vr[:, :, :, None] * vc[:, :, None, :]
+    v00 = patch[:, :, :-1, :-1]
+    v01 = patch[:, :, :-1, 1:]
+    v10 = patch[:, :, 1:, :-1]
+    v11 = patch[:, :, 1:, 1:]
+    wxd = idx.wx.astype(dt)
+    wyd = idx.wy.astype(dt)
+    sampled = (
+        v00 * (1 - wxd) * (1 - wyd)
+        + v01 * wxd * (1 - wyd)
+        + v10 * (1 - wxd) * wyd
+        + v11 * wxd * wyd
+    )                                           # [B, hw, 2r+1, 2r+1]
+    sampled = sampled.swapaxes(2, 3)  # upstream x-major order
+    return sampled.reshape(b, h, w, (2 * r + 1) ** 2).astype(jnp.float32)
+
+
+class BandCorrPyramid:
+    """Materialized pyramid with the BANDED SPARSE streaming lookup
+    (kernels/bandlookup.py): volumes stored plane-row-OUTER
+    [B, lh8, NQ_pad, lw_pad], and each refinement iteration reads only
+    the row chunks each 512-query block's patches actually touch
+    (exact ranges from the clamped indices) — typically ~20-40 of 135+
+    plane rows at product shapes, vs the XLA dense path's full-volume
+    stream per iteration (DenseCorrPyramid docstring).  Worst case
+    degrades to the full stream, never worse.
+
+    Numerics: patch entries are exact volume values (one-hot selects,
+    f32 MXU accumulate, volume-dtype at rest) — identical to
+    DenseCorrPyramid for equal volume values; pooling is the same
+    reshape-mean, exact up to float reassociation in the build chunking.
+    """
+
+    def __init__(
+        self,
+        pyramid: List[jnp.ndarray],
+        shape: Tuple[int, int, int],
+        target_dims: Optional[Tuple[int, int]] = None,
+    ):
+        self.pyramid = pyramid  # levels [B, lh8, NQ_pad, lw_pad]
+        self.b, self.h, self.w = shape
+        self.h2, self.w2 = target_dims if target_dims is not None else (self.h, self.w)
+
+    @classmethod
+    def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
+        """Chunked all-pairs build emitting the band layout directly:
+        each query chunk's [nqc, lh, lw] plane stack is pooled per level,
+        transposed row-outer, and lane/row padding is emitted as part of
+        one final concat (no full-size unpadded+padded copies coexist —
+        the DenseCorrPyramid.build HBM lesson)."""
+        from ..kernels.bandlookup import QB, pad_plane_dims
+
+        b, h, w, c = fmap1.shape
+        h2, w2 = fmap2.shape[1], fmap2.shape[2]
+        scale = 1.0 / float(np.sqrt(c))
+        dt = fmap1.dtype
+        nq = h * w
+        nq_pad = -(-nq // QB) * QB
+
+        rows = max(1, min(nq, int(5e8 / max(1, 4 * h2 * w2))))
+        parts: List[List[jnp.ndarray]] = [[] for _ in range(num_levels)]
+        for bi in range(b):
+            for i in range(-(-nq // rows)):
+                blk = jnp.einsum(
+                    "nc,mc->nm",
+                    fmap1.reshape(b, nq, c)[bi, i * rows : (i + 1) * rows],
+                    fmap2.reshape(b, h2 * w2, c)[bi],
+                    preferred_element_type=jnp.float32,
+                )
+                x = (blk * scale).astype(dt).reshape(-1, h2, w2)
+                for lvl in range(num_levels):
+                    lh, lw = pyramid_level_dims(h2, w2, lvl)
+                    lh8, lw_pad = pad_plane_dims(lh, lw)
+                    part = x.transpose(1, 0, 2)  # [lh, nqc, lw]
+                    part = jnp.pad(
+                        part, ((0, lh8 - lh), (0, 0), (0, lw_pad - lw))
+                    )
+                    parts[lvl].append(part)
+                    if lvl + 1 < num_levels:
+                        x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
+                        x = x.reshape(-1, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
+        pyramid = []
+        for lvl in range(num_levels):
+            lh, lw = pyramid_level_dims(h2, w2, lvl)
+            lh8, lw_pad = pad_plane_dims(lh, lw)
+            per_b = []
+            n_chunks = len(parts[lvl]) // b
+            for bi in range(b):
+                chunk = parts[lvl][bi * n_chunks : (bi + 1) * n_chunks]
+                if nq_pad != nq:
+                    chunk = chunk + [
+                        jnp.zeros((lh8, nq_pad - nq, lw_pad), dt)
+                    ]
+                per_b.append(
+                    chunk[0] if len(chunk) == 1 else jnp.concatenate(chunk, axis=1)
+                )
+            pyramid.append(jnp.stack(per_b))
+        return cls(pyramid, (b, h, w), (h2, w2))
+
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
+        """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32; same contracts as
+        CorrPyramid.lookup (zero-pad border, upstream x-major window
+        order)."""
+        from ..kernels.bandlookup import band_patch_level
+
+        b, h, w, _ = flow.shape
+        r = radius
+        side = 2 * r + 2
+        hw = h * w
+        interpret = jax.default_backend() != "tpu"
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
+
+        out = []
+        for lvl, vol in enumerate(self.pyramid):
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            idx = _radius_patch_indices(base_x, base_y, lvl, lh, lw, r)
+            patch = band_patch_level(
+                vol, idx.rr, idx.cc, lh=lh, lw=lw, side=side,
+                interpret=interpret,
+            )                                           # [B, hw, side, side]
+            out.append(_patch_to_features(patch, idx, lh, lw, border, (b, h, w, r)))
+        return jnp.concatenate(out, axis=-1)
 
 
 def make_corr(
@@ -944,7 +1080,20 @@ def make_corr(
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
     if impl == "flash":
         return FlashCorr.build(fmap1, fmap2, num_levels)
+    if impl == "band":
+        return BandCorrPyramid.build(fmap1, fmap2, num_levels)
     hw = fmap1.shape[1] * fmap1.shape[2]
     if hw > materialize_threshold:
+        # Too big to materialize: recompute rows from VMEM-resident
+        # features (FlashCorr Pallas kernel) on TPU; XLA fallback off it.
+        if jax.default_backend() == "tpu":
+            return FlashCorr.build(fmap1, fmap2, num_levels)
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
+    # Materializable: the XLA dense one-hot stream wins on-device — the
+    # banded Pallas variant measured 291 ms vs dense 173 ms per
+    # 12-iteration lookup at the bench tile (smooth flow; 488 ms
+    # chaotic) and its row-outer layout costs 1.67x the volume bytes
+    # (benchmarks/micro_bandlookup.py, v5e) — per-MXU-op issue cost of
+    # the many small selects dominates the DMA savings.  `impl='band'`
+    # keeps the kernel reachable for larger-grid regimes.
     return DenseCorrPyramid.build(fmap1, fmap2, num_levels)

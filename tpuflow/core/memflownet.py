@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .corr import (
+    BandCorrPyramid,
     CorrPyramid,
     DenseCorrPyramid,
     FlashCorr,
@@ -206,6 +207,8 @@ def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
         return FlashCorr(fmap1, list(flash_pyr), dense)
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
+    if impl == "BandCorrPyramid":
+        return BandCorrPyramid(list(state[1]), (n, h, w), (h, w))
     if impl == "DenseCorrPyramid":
         return DenseCorrPyramid(list(state[1]), (n, h, w), (h, w))
     return CorrPyramid(list(state[1]), (n, h, w), (h, w))

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .corr import (
+    BandCorrPyramid,
     CorrPyramid,
     DenseCorrPyramid,
     FlashCorr,
@@ -115,6 +116,8 @@ def _corr_from_state(state: Tuple, grid: Tuple[int, int, int]):
     fmap1, pyramid = state
     if fmap1 is not None:
         return OnTheFlyCorr(fmap1, list(pyramid))
+    if pyramid[0].ndim == 4:
+        return BandCorrPyramid(list(pyramid), (n, h, w), (h, w))
     if pyramid[0].ndim == 3:
         return DenseCorrPyramid(list(pyramid), (n, h, w), (h, w))
     return CorrPyramid(list(pyramid), (n, h, w), (h, w))
