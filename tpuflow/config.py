@@ -28,6 +28,28 @@ DEFAULT_CORR_RADIUS = 4
 # Fixed square tile size used by tile mode (videoflow_processor.py:73-110).
 TILE_SIZE = 1280
 
+# Per-stage MemFlow model cfg (reference: configs/{stage}_memflownet.py
+# consumed via memflow_loader.py:43-50; the inference path gates rotary
+# position encoding on cfg.rope — memflow_inference_isolated.py:105
+# `add_pe=('rope' in cfg and cfg.rope)`).  The upstream MemFlowNet
+# configs (arXiv:2404.04808 §3.2's RoPE-equipped memory attention)
+# enable rope for all released stages; the table keeps the gate explicit
+# so a differing live checkpoint cfg maps in one edit.
+MEMFLOW_STAGE_CFG = {
+    "sintel": {"use_rope": True},
+    "things": {"use_rope": True},
+    "kitti": {"use_rope": True},
+}
+
+
+def memflow_stage_cfg(stage: str) -> dict:
+    if stage not in MEMFLOW_STAGE_CFG:
+        raise ValueError(
+            f"Unknown MemFlow stage {stage!r} (expected one of "
+            f"{sorted(MEMFLOW_STAGE_CFG)})"
+        )
+    return MEMFLOW_STAGE_CFG[stage]
+
 
 @dataclass(frozen=True)
 class ModelConfig:
@@ -137,6 +159,10 @@ class PipelineConfig:
                                        # (T-2)x fewer forward passes)
 
     def model_config(self) -> ModelConfig:
+        kw = {}
+        if self.model == "memflow":
+            # Stage cfg (rope gate) — memflow_inference_isolated.py:105.
+            kw.update(memflow_stage_cfg(self.stage))
         return ModelConfig(
             model=self.model,
             architecture=self.vf_architecture,
@@ -148,6 +174,7 @@ class PipelineConfig:
             sequence_length=max(2, self.sequence_length)
             if self.model == "memflow"
             else self.sequence_length,
+            **kw,
         )
 
     def replace(self, **kw) -> "PipelineConfig":

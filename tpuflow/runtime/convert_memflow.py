@@ -7,12 +7,15 @@ block — so the dotted->slashed rewrite is the VideoFlow one
 (convert.videoflow_name_map's `_rewrite_videoflow_key`).
 
 The memory-specific modules (context-key / motion-value projections and
-the readout) are named here by their role (qk_proj / v_proj /
-memory_reader.out_proj); upstream's exact attribute names must be
-confirmed against a live checkpoint with `describe_state_dict` +
-`suggest_mapping` — the strict match-rate gate in
-load_torch_checkpoint_as_params will fail loudly rather than silently
-mis-load until the table is finalized.
+the readout) are named by their role (qk_proj / v_proj /
+memory_reader.out_proj).  The table is proven end-to-end against the
+torch mirror (tests/mirrors/memflow_torch.py — conversion-total +
+forward parity, tests/test_memflow_parity.py), the same method that
+validated the VideoFlow table.  Upstream's exact attribute names for the
+memory modules cannot be read from this snapshot (the MemFlow submodule
+is empty); if a live checkpoint differs, the strict match-rate gate in
+load_torch_checkpoint_as_params fails loudly and `describe_state_dict` +
+`suggest_mapping` finalize the rename in one rewrite rule.
 """
 
 from __future__ import annotations
