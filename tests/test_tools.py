@@ -189,3 +189,101 @@ def test_inspector_deferred_quality(video_with_cache):
     assert insp.quality_map_cached(0) is not None
     insp.compute_quality_async(0, on_ready=lambda i, q: got.setdefault("again", q))
     assert "again" in got
+
+
+def test_video_preview_core(video_with_cache):
+    """load_video_preview: first frame + metadata (VideoThread parity,
+    gui_runner.py:87-109)."""
+    from tpuflow.tools.gui import load_video_preview
+
+    path, _, n = video_with_cache
+    p = load_video_preview(path)
+    assert p.total_frames == n
+    assert p.fps == pytest.approx(10.0)
+    assert p.frame.shape == (48, 64, 3)
+    assert p.frame.dtype == np.uint8
+
+
+def test_video_preview_async(video_with_cache):
+    import threading
+
+    from tpuflow.tools.gui import load_video_preview_async
+
+    path, _, n = video_with_cache
+    done = threading.Event()
+    got = {}
+
+    def on_loaded(p):
+        got["p"] = p
+        done.set()
+
+    t = load_video_preview_async(path, on_loaded)
+    assert done.wait(10.0)
+    t.join(5.0)
+    assert got["p"].total_frames == n
+
+
+def test_video_preview_async_error():
+    import threading
+
+    from tpuflow.tools.gui import load_video_preview_async
+
+    done = threading.Event()
+    errs = []
+
+    def on_error(e):
+        errs.append(e)
+        done.set()
+
+    load_video_preview_async(
+        "/nonexistent/nope.avi", lambda p: None, on_error
+    )
+    assert done.wait(10.0)
+    assert errs and isinstance(errs[0], Exception)
+
+
+def test_process_runner_streams_lines():
+    """ProcessRunner: streamed stdout+stderr lines and exit code
+    (ProcessThread parity, gui_runner.py:111-139)."""
+    import sys
+
+    from tpuflow.tools.gui import ProcessRunner
+
+    lines, finished = [], []
+    code = "import sys\nfor i in range(5): print('line', i)\nprint('err', file=sys.stderr)\nsys.exit(3)"
+    r = ProcessRunner(
+        [sys.executable, "-c", code], lines.append, finished.append
+    ).start()
+    rc = r.wait(30.0)
+    assert rc == 3 and finished == [3]
+    assert [f"line {i}" for i in range(5)] == lines[:5]
+    assert "err" in lines  # stderr merged into the stream
+
+
+def test_process_runner_bad_command_surfaces_error():
+    from tpuflow.tools.gui import ProcessRunner
+
+    lines, finished = [], []
+    r = ProcessRunner(["/nonexistent/binary"], lines.append, finished.append).start()
+    rc = r.wait(30.0)
+    assert rc == 1 and finished == [1]
+    assert lines and lines[0].startswith("Error: ")
+
+
+def test_process_runner_stop():
+    import sys
+    import time
+
+    from tpuflow.tools.gui import ProcessRunner
+
+    lines = []
+    r = ProcessRunner(
+        [sys.executable, "-c", "import time; print('up', flush=True); time.sleep(60)"],
+        lines.append,
+    ).start()
+    deadline = time.time() + 10
+    while "up" not in lines and time.time() < deadline:
+        time.sleep(0.05)
+    r.stop()
+    rc = r.wait(15.0)
+    assert rc is not None and rc != 0

@@ -9,6 +9,9 @@ badge, QSettings persistence, and launches the CLI in a new console
 - `build_command`                    (CLI string builder, gui_runner.py:1686-1780)
 - `preview_output_path` / `preview_cache_path` + `cache_status`
   (filename previews and cache probe, gui_runner.py:1039-1124, 1317-1433)
+- `load_video_preview` / async       (VideoThread, gui_runner.py:87-109)
+- `ProcessRunner`                    (ProcessThread streamed stdout,
+                                      gui_runner.py:111-139)
 
 with a thin Tk shell (`FlowRunnerApp`) on top — PyQt6 is not assumed.
 """
@@ -20,8 +23,9 @@ import json
 import os
 import subprocess
 import sys
+import threading
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
 
 from ..pipeline.filenames import generate_cache_directory, generate_output_filename
 
@@ -181,6 +185,119 @@ def launch_cli(s: GuiSettings) -> subprocess.Popen:
     return subprocess.Popen(build_command(s))
 
 
+# ---------------------------------------------------------------------------
+# Background video preview (VideoThread, gui_runner.py:87-109)
+# ---------------------------------------------------------------------------
+class VideoPreview(NamedTuple):
+    frame: "object"        # first frame, RGB HxWx3 uint8 (numpy)
+    total_frames: int
+    fps: float
+
+
+def load_video_preview(path: str) -> VideoPreview:
+    """First frame + metadata of a video (the reference's VideoThread.run
+    body: cv2 open, read frame count/fps, BGR->RGB first frame)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    try:
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        ok, frame = cap.read()
+        if not ok:
+            raise IOError(f"cannot read first frame: {path}")
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+    return VideoPreview(frame=frame, total_frames=total, fps=fps)
+
+
+def load_video_preview_async(
+    path: str,
+    on_loaded: Callable[[VideoPreview], None],
+    on_error: Optional[Callable[[Exception], None]] = None,
+) -> threading.Thread:
+    """Non-blocking preview load: runs `load_video_preview` on a daemon
+    thread and delivers the result via callback — the UI never freezes on
+    video IO (gui_runner.py:87 'to prevent UI freezing')."""
+
+    def work():
+        try:
+            on_loaded(load_video_preview(path))
+        except Exception as e:  # surfaced, never swallowed silently
+            if on_error is not None:
+                on_error(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Streaming process runner (ProcessThread, gui_runner.py:111-139)
+# ---------------------------------------------------------------------------
+class ProcessRunner:
+    """Run an argv, streaming merged stdout/stderr lines to a callback
+    from a reader thread, then report the return code.
+
+    Mirrors the reference's ProcessThread: Popen with stdout=PIPE,
+    stderr=STDOUT, line-buffered text; `output_received` per line,
+    `process_finished(returncode)` at exit (gui_runner.py:119-139).
+    Errors surface as an output line + returncode 1, like upstream.
+    """
+
+    def __init__(
+        self,
+        argv: List[str],
+        on_output: Callable[[str], None],
+        on_finished: Optional[Callable[[int], None]] = None,
+    ):
+        self.argv = argv
+        self.on_output = on_output
+        self.on_finished = on_finished
+        self.process: Optional[subprocess.Popen] = None
+        self.returncode: Optional[int] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "ProcessRunner":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        try:
+            self.process = subprocess.Popen(
+                self.argv,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                universal_newlines=True,
+                bufsize=1,
+            )
+            assert self.process.stdout is not None
+            for line in iter(self.process.stdout.readline, ""):
+                if line:
+                    self.on_output(line.rstrip("\n"))
+            self.process.wait()
+            self.returncode = self.process.returncode
+        except Exception as e:
+            self.on_output(f"Error: {e}")
+            self.returncode = 1
+        if self.on_finished is not None:
+            self.on_finished(self.returncode)
+
+    def wait(self, timeout: Optional[float] = None) -> Optional[int]:
+        if self._thread is not None:
+            self._thread.join(timeout)
+        return self.returncode
+
+    def stop(self) -> None:
+        """Terminate the child (direct PID, never pattern-matched)."""
+        if self.process is not None and self.process.poll() is None:
+            self.process.terminate()
+
+
 class FlowRunnerApp:
     """Thin Tk form over the headless core."""
 
@@ -244,8 +361,35 @@ class FlowRunnerApp:
         self.preview = tk.Label(self.root, text="", anchor="w", justify="left")
         self.preview.grid(row=row, column=0, columnspan=2, sticky="we")
         row += 1
+        self.video_info = tk.Label(self.root, text="", anchor="w")
+        self.video_info.grid(row=row, column=0, columnspan=2, sticky="we")
+        row += 1
         tk.Button(self.root, text="Preview", command=self._update_preview).grid(row=row, column=0)
         tk.Button(self.root, text="Run", command=self._run).grid(row=row, column=1)
+        row += 1
+        # Streamed CLI output (ProcessRunner -> queue -> after-poll; Tk
+        # widgets are only touched from the main thread).
+        self.output = tk.Text(self.root, height=12, width=80, state="disabled")
+        self.output.grid(row=row, column=0, columnspan=2, sticky="we")
+        import queue as _queue
+
+        self._outq: "_queue.Queue[str]" = _queue.Queue()
+        self._runner = None
+        self.root.after(100, self._drain_output)
+
+    def _drain_output(self):
+        try:
+            while True:
+                line = self._outq.get_nowait()
+                if line.startswith("[video] "):
+                    self.video_info.config(text=line[len("[video] "):])
+                self.output.config(state="normal")
+                self.output.insert("end", line + "\n")
+                self.output.see("end")
+                self.output.config(state="disabled")
+        except Exception:
+            pass
+        self.root.after(100, self._drain_output)
 
     def _collect(self) -> GuiSettings:
         s = self.settings
@@ -273,11 +417,28 @@ class FlowRunnerApp:
                 f"cmd:    {' '.join(build_command(s))}"
             )
         )
+        if s.input and os.path.exists(s.input):
+            # Background load (VideoThread parity); result lands in the
+            # output queue and the info label via the after-poll.
+            def loaded(p: VideoPreview):
+                h, w = p.frame.shape[:2]
+                self._outq.put(
+                    f"[video] {w}x{h}, {p.total_frames} frames @ {p.fps:.2f} fps"
+                )
+
+            load_video_preview_async(
+                s.input, loaded, lambda e: self._outq.put(f"[video] error: {e}")
+            )
 
     def _run(self):
         s = self._collect()
         s.save()
-        launch_cli(s)
+        self._outq.put("$ " + " ".join(build_command(s)))
+        self._runner = ProcessRunner(
+            build_command(s),
+            self._outq.put,
+            lambda rc: self._outq.put(f"[exit {rc}]"),
+        ).start()
 
     def run(self):
         self.root.mainloop()
