@@ -1,0 +1,163 @@
+"""Multi-host distributed story (SURVEY §5.8c): unit tests for the
+host-local frame partitioning + a REAL 2-process CPU `jax.distributed`
+run (spawned workers, global 2-device mesh, scalar allreduce) — the same
+init/mesh/collective path a TPU pod slice takes.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tpuflow.runtime.distributed import host_frame_range, host_window_range
+
+
+def test_host_frame_range_partition():
+    # Every frame exactly once, contiguous, remainder to leading hosts.
+    for total, n in [(10, 2), (11, 4), (3, 4), (100, 7)]:
+        ranges = [host_frame_range(total, p, n) for p in range(n)]
+        assert ranges[0][0] == 0 and ranges[-1][1] == total
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi == b_lo  # contiguous, disjoint
+        sizes = [hi - lo for lo, hi in ranges]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_host_frame_range_validates():
+    with pytest.raises(ValueError):
+        host_frame_range(10, 2, 2)
+
+
+def test_host_window_range_context():
+    (dec, out) = host_window_range(20, 5, 1, 2)
+    assert out == (10, 20)
+    assert dec == (8, 20)  # seq//2 = 2 frames of left context, clamped right
+    (dec0, out0) = host_window_range(20, 5, 0, 2)
+    assert out0 == (0, 10) and dec0 == (0, 12)
+    # Union of decodes covers every frame; outputs are disjoint.
+    assert dec0[0] == 0 and dec[1] == 20
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_mesh(tmp_path):
+    """Spawn 2 real processes: jax.distributed init, 2-device global CPU
+    mesh, host-local decode ranges, allreduced completion count."""
+    coord = f"127.0.0.1:{_free_port()}"
+    total, seq = 10, 5
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES")
+    }
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs, outs = [], []
+    for pid in range(2):
+        out_json = str(tmp_path / f"worker{pid}.json")
+        outs.append(out_json)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tests", "distributed_worker.py"),
+                    coord, "2", str(pid), str(total), str(seq), out_json,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    results = [json.load(open(o)) for o in outs]
+    # Global mesh seen by both processes.
+    assert all(r["global_devices"] == 2 for r in results)
+    # Disjoint outputs covering all frames; decode includes window context.
+    assert results[0]["out"] == [0, 5] and results[1]["out"] == [5, 10]
+    assert results[0]["decode"] == [0, 7] and results[1]["decode"] == [3, 10]
+    # The allreduce saw both halves on both hosts.
+    assert all(r["total_done"] == total for r in results)
+
+
+def test_two_process_cli_distributed_flow_pass(tmp_path):
+    """Full product path, 2 hosts: each CLI process decodes its own frame
+    range, computes flows, and writes its disjoint cache slice; the union
+    cache must be complete and renderable."""
+    import numpy as np
+
+    cv2 = pytest.importorskip("cv2")
+
+    # Tiny synthetic clip.
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    for i in range(8):
+        w.write(np.roll(base, i * 2, axis=1))
+    w.release()
+
+    coord = f"127.0.0.1:{_free_port()}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES")
+    }
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    n = 6
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "tpuflow.tools.cli",
+                    "--input", video, "--frames", str(n),
+                    "--output", out_dir, "--allow-random-init",
+                    "--device", "cpu", "--encoder", "cnn", "--fast",
+                    "--skip-lods",
+                    "--coordinator", coord,
+                    "--num-processes", "2", "--process-id", str(pid),
+                ],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+    # Each host reports its disjoint range and the shared completion count.
+    assert "own flows [0, 3)" in logs[0]
+    assert "own flows [3, 6)" in logs[1]
+    assert all(f"{n}/{n} flows complete" in log for log in logs)
+
+    # The union cache is complete and loadable.
+    from tpuflow.pipeline.cache import FlowCacheManager
+    from tpuflow.pipeline.filenames import generate_cache_directory
+
+    cache_dir = generate_cache_directory(
+        video, start_frame=0, max_frames=n, sequence_length=5,
+        fast_mode=True, tile_mode=False, model="videoflow",
+        dataset="sintel", architecture="mof", variant="standard",
+    )
+    mgr = FlowCacheManager()
+    ok, fmt, missing = mgr.check_cache_exists(cache_dir, n)
+    assert ok, (fmt, missing)
+    flow0 = mgr.load_cached_flow(cache_dir, 0, fmt)
+    assert flow0.ndim == 3 and flow0.shape[-1] == 2

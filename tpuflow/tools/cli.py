@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="[tpu] 'center' = reference parity (one middle-frame flow per window); "
              "'interior' = keep all interior-frame flows ((T-2)x throughput)",
     )
+    # Multi-host (SURVEY §5.8c): run N copies of this CLI, one per host,
+    # with the same --coordinator and distinct --process-id; each decodes
+    # and computes its own frame range into the shared flow cache.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="[tpu] multi-host coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="[tpu] total processes in the multi-host run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="[tpu] this process's id (0..num-processes-1)")
     return p
 
 
@@ -148,6 +157,30 @@ def main(argv=None) -> int:
         from .visualizer import launch_interactive
 
         return launch_interactive(config)
+
+    if args.num_processes > 1:
+        # Multi-host flow pass: compute this host's cache slice and stop.
+        # Rendering is a single-host step over the completed cache
+        # (re-run without the multi-host flags, or pass the cache dir as
+        # --use-flow-cache / output).
+        import jax
+
+        if config.device == "cpu":
+            # Force the host backend BEFORE distributed/backend init —
+            # N processes must not all claim the same accelerator.
+            jax.config.update("jax_platforms", "cpu")
+
+        from ..runtime.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        # Import AFTER distributed init: pulling in the engine initializes
+        # the XLA backend, which must see the global runtime.
+        from .pipeline import FlowPipeline
+
+        pipeline = FlowPipeline(config)
+        cache_dir = pipeline.compute_flows_distributed()
+        print(f"Flow cache complete: {cache_dir}")
+        return 0
 
     from .pipeline import FlowPipeline
 

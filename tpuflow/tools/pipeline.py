@@ -249,6 +249,74 @@ class FlowPipeline:
         return flows  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
+    # multi-host flow computation (SURVEY §5.8c)
+    # ------------------------------------------------------------------
+    def compute_flows_distributed(self, input_path: Optional[str] = None) -> str:
+        """Multi-host flow pass: each process decodes and computes ITS
+        OWN contiguous frame range (host-local video IO, half-window
+        context overlap) and writes its disjoint slice of the shared
+        flow cache; a scalar allreduce confirms completion.  Rendering
+        stays a single-host step over the completed cache (the cache is
+        the recovery/handoff unit, flow_processor.py:975-976).
+
+        Returns the cache directory.  Requires init_distributed() to
+        have run (CLI --num-processes); single-process calls degrade to
+        the normal compute path over the full range.
+        """
+        import jax
+
+        from ..pipeline.video_io import VideoInfo
+        from ..runtime.distributed import gather_host_results, host_window_range
+
+        c = self.config
+        input_path = input_path or c.input
+        total = VideoInfo(input_path).get_frame_count() - c.start_frame
+        n = min(c.frames, total)
+        (dec_lo, dec_hi), (out_lo, out_hi) = host_window_range(
+            n, c.sequence_length
+        )
+        pidx = jax.process_index()
+        print(
+            f"[Distributed] process {pidx}/{jax.process_count()}: "
+            f"decode frames [{dec_lo}, {dec_hi}), own flows [{out_lo}, {out_hi})"
+        )
+        if c.model == "memflow" and jax.process_count() > 1:
+            # Window context restores VideoFlow equivalence exactly; the
+            # MemFlow memory buffer, by contrast, carries from the video
+            # start, so range-local memory only approximates it.
+            print(
+                "[Distributed] warning: MemFlow memory restarts at each "
+                "host's range boundary (flows near range starts may "
+                "differ slightly from a single-host run)"
+            )
+
+        extractor = FrameExtractor(input_path, fast_mode=c.fast)
+        frames, _, _, _, _ = extractor.extract_frames(
+            max_frames=dec_hi - dec_lo,
+            start_frame=c.start_frame + dec_lo,
+        )
+
+        self.engine.load_model(c.model_path, allow_random_init=c.allow_random_init)
+        cache_dir = self.cache_dir_for(input_path, c.start_frame, n)
+        cache_format = c.save_flow if c.save_flow else "npz"
+
+        # Compute over the decoded slice (window context included), keep
+        # only the owned range, write it at GLOBAL frame indices.
+        flows = self.compute_all_flows(frames, cache_dir=None, progress=False)
+        for i in range(out_lo, out_hi):
+            self.cache_manager.save_flow_to_cache(
+                flows[i - dec_lo], cache_dir, i, cache_format
+            )
+
+        done = gather_host_results(out_hi - out_lo)
+        print(f"[Distributed] {done}/{n} flows complete across hosts")
+        if done != n:
+            raise RuntimeError(
+                f"Distributed flow pass incomplete: {done}/{n} frames"
+            )
+        return cache_dir
+
+    # ------------------------------------------------------------------
     # main entry
     # ------------------------------------------------------------------
     def process_video(self, input_path: Optional[str] = None, output_path: Optional[str] = None) -> str:
