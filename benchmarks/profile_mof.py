@@ -150,7 +150,8 @@ def main():
     )
 
     # --- full forward ---
-    model = MOFNet(dtype=dt, encoder=ENC)
+    CORR = os.environ.get("CORR", "auto")
+    model = MOFNet(dtype=dt, encoder=ENC, corr_impl=CORR)
     windows = jax.device_put(jnp.asarray(rng.random((B, T, TH, TW, 3), dtype=np.float32)))
     pm = jax.jit(model.init)(key, jnp.zeros((1, T, 64, 64, 3)))
 
@@ -158,7 +159,7 @@ def main():
         f, _ = model.apply(pm, windows)
         return scal(f)
 
-    print(f"full MOF forward (12 iters): {timeit(jax.jit(fwd), pm, windows, iters=2):.4f}s", flush=True)
+    print(f"full MOF forward (12 iters, corr={CORR}): {timeit(jax.jit(fwd), pm, windows, iters=2):.4f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""FlashCorr2 (phase-packed fused Pallas correlation lookup) vs the XLA
+paths.  Runs the kernel in interpret mode on CPU; the packing math (zero
+lane padding via dense-path phase arithmetic) is TPU-measured in
+benchmarks/micro_corrvariants.py.
+
+Reference semantics under test: the RAFT-family radius lookup consumed
+by the reference via videoflow_core.py:91-94 — zero-pad border, shared-
+fraction bilinear, upstream x-major window channel order.  Deep levels
+correlate against avg-pooled features == avg-pooled volumes exactly
+(linearity), up to float summation order.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow.core.corr import (
+    CorrPyramid,
+    DenseCorrPyramid,
+    FlashCorr2,
+    make_corr,
+)
+from tpuflow.kernels.flashcorr2 import level_pack_dims
+
+
+@pytest.fixture
+def small_pair():
+    rng = np.random.default_rng(23)
+    f1 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    f2 = rng.normal(size=(2, 16, 24, 32)).astype(np.float32)
+    flow = rng.normal(0, 6, size=(2, 16, 24, 2)).astype(np.float32)
+    return jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(flow)
+
+
+def test_pack_dims_zero_waste_for_videoflow_widths():
+    # Every VideoFlow tile level width packs to exactly 640 lanes.
+    for lh, lw in [(135, 160), (67, 80), (33, 40), (16, 20)]:
+        g, gw, npr = level_pack_dims(lh, lw)
+        assert g * lw == gw == 640
+        assert npr * g >= lh
+    # Irregular width falls back to lane padding, never fails.
+    g, gw, _ = level_pack_dims(10, 100)
+    assert gw % 128 == 0 and gw >= g * 100
+
+
+def test_flash2_all_levels_matches_gather(small_pair):
+    f1, f2, flow = small_pair
+    cp = CorrPyramid.build(f1, f2, 3)
+    fc = FlashCorr2.build(f1, f2, 3)
+    for r in (3, 4):
+        a = np.asarray(cp.lookup(flow, r))
+        b = np.asarray(fc.lookup(flow, r))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_flash2_level0_exact_vs_dense(small_pair):
+    f1, f2, flow = small_pair
+    dp = DenseCorrPyramid.build(f1, f2, 1)
+    fc = FlashCorr2.build(f1, f2, 1)
+    a = np.asarray(dp.lookup(flow, 4))
+    b = np.asarray(fc.lookup(flow, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_flash2_border_crossing_queries():
+    # Flows that push patches fully/partially off-plane: clamped indices
+    # keep the selects legal and the epilogue zeroes exactly like the
+    # gather path (grid_sample zero padding semantics).
+    rng = np.random.default_rng(29)
+    f1 = jnp.asarray(rng.normal(size=(1, 8, 16, 16)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 8, 16, 16)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 30, size=(1, 8, 16, 2)).astype(np.float32))
+    cp = CorrPyramid.build(f1, f2, 2)
+    fc = FlashCorr2.build(f1, f2, 2)
+    a = np.asarray(cp.lookup(flow, 4))
+    b = np.asarray(fc.lookup(flow, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_flash2_bf16_storage():
+    rng = np.random.default_rng(31)
+    f1 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.normal(size=(1, 16, 20, 16)), jnp.bfloat16)
+    flow = jnp.asarray(rng.normal(0, 4, size=(1, 16, 20, 2)), jnp.float32)
+    cp = CorrPyramid.build(f1, f2, 2)
+    fc = FlashCorr2.build(f1, f2, 2)
+    a = np.asarray(cp.lookup(flow, 4))
+    b = np.asarray(fc.lookup(flow, 4))
+    scale = max(1.0, np.abs(a).max())
+    assert np.max(np.abs(a - b)) <= 3 * 0.0079 * scale
+
+
+def test_flash2_state_roundtrip(small_pair):
+    from tpuflow.core.mofnet import _corr_from_state, _corr_state
+
+    f1, f2, flow = small_pair
+    fc = FlashCorr2.build(f1, f2, 3)
+    state = _corr_state(fc)
+    fc2 = _corr_from_state(state, (2, 16, 24))
+    assert isinstance(fc2, FlashCorr2)
+    a = np.asarray(fc.lookup(flow, 4))
+    b = np.asarray(fc2.lookup(flow, 4))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_make_corr_flash2(small_pair):
+    f1, f2, _ = small_pair
+    fc = make_corr(f1, f2, 3, impl="flash2")
+    assert isinstance(fc, FlashCorr2)

@@ -888,6 +888,61 @@ class FlashCorr:
         return jnp.concatenate([flash_out, dense_out], axis=-1)
 
 
+class FlashCorr2:
+    """Correlation lookup through the PHASE-PACKED fused Pallas kernel
+    (tpuflow.kernels.flashcorr2): every pyramid level is recomputed on
+    the MXU from packed pooled target features with zero lane padding —
+    no volume bytes in HBM, no volume build, no dense sidecar.  See the
+    kernel docstring for the formulation; deep levels correlate against
+    avg-pooled features, which equals volume pooling exactly
+    (correlation is linear in the target features) up to float
+    summation order.
+    """
+
+    def __init__(self, fmap1: jnp.ndarray, packed_pyr: List[jnp.ndarray]):
+        self.fmap1 = fmap1          # [B, H, W, C]
+        self.packed_pyr = packed_pyr  # per level [B, npr_pad*gw, C]
+
+    @classmethod
+    def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
+        from ..kernels.flashcorr2 import pack_f2_level
+
+        pooled = [fmap2]
+        for _ in range(num_levels - 1):
+            pooled.append(_avg_pool_features(pooled[-1]))
+        return cls(fmap1, [pack_f2_level(p) for p in pooled])
+
+    def lookup(
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+    ) -> jnp.ndarray:
+        """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32; same contracts as
+        CorrPyramid.lookup (zero-pad border, upstream x-major window
+        order)."""
+        from ..kernels.flashcorr2 import flash2_patch_level
+
+        b, h, w, _ = flow.shape
+        c = self.fmap1.shape[-1]
+        r = radius
+        hw = h * w
+        interpret = jax.default_backend() != "tpu"
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
+        f1 = self.fmap1.reshape(b, hw, c)
+
+        out = []
+        for lvl, f2p in enumerate(self.packed_pyr):
+            lh, lw = pyramid_level_dims(h, w, lvl)
+            idx = _radius_patch_indices(base_x, base_y, lvl, lh, lw, r)
+            patch = flash2_patch_level(
+                f1, f2p, idx.rr, idx.cc, lh=lh, lw=lw, side=2 * r + 2,
+                interpret=interpret,
+            )                                           # [B, hw, side, side]
+            out.append(_patch_to_features(patch, idx, lh, lw, border, (b, h, w, r)))
+        return jnp.concatenate(out, axis=-1)
+
+
 class _PatchIdx(NamedTuple):
     """Per-level lookup geometry shared by the Pallas patch kernels."""
 
@@ -1080,6 +1135,8 @@ def make_corr(
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
     if impl == "flash":
         return FlashCorr.build(fmap1, fmap2, num_levels)
+    if impl == "flash2":
+        return FlashCorr2.build(fmap1, fmap2, num_levels)
     if impl == "band":
         return BandCorrPyramid.build(fmap1, fmap2, num_levels)
     hw = fmap1.shape[1] * fmap1.shape[2]

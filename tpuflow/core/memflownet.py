@@ -41,6 +41,7 @@ from .corr import (
     CorrPyramid,
     DenseCorrPyramid,
     FlashCorr,
+    FlashCorr2,
     OnTheFlyCorr,
     make_corr,
 )
@@ -207,6 +208,8 @@ def _corr_from_state(state: Tuple, impl: str, grid: Tuple[int, int, int]):
         return FlashCorr(fmap1, list(flash_pyr), dense)
     if impl == "OnTheFlyCorr":
         return OnTheFlyCorr(state[0], list(state[1]))
+    if impl == "FlashCorr2":
+        return FlashCorr2(state[0], list(state[1]))
     if impl == "BandCorrPyramid":
         return BandCorrPyramid(list(state[1]), (n, h, w), (h, w))
     if impl == "DenseCorrPyramid":

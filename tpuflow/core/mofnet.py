@@ -51,6 +51,7 @@ from .corr import (
     CorrPyramid,
     DenseCorrPyramid,
     FlashCorr,
+    FlashCorr2,
     OnTheFlyCorr,
     make_corr,
 )
@@ -94,6 +95,8 @@ def _corr_state(corr) -> Tuple:
     if isinstance(corr, FlashCorr):
         dense = tuple(corr.dense.pyramid) if corr.dense is not None else ()
         return (corr.fmap1, tuple(corr.flash_pyr), dense)
+    if isinstance(corr, FlashCorr2):
+        return (corr.fmap1, tuple(corr.packed_pyr))
     if isinstance(corr, OnTheFlyCorr):
         return (corr.fmap1, tuple(corr.pyramid))
     return (None, tuple(corr.pyramid))
@@ -115,7 +118,10 @@ def _corr_from_state(state: Tuple, grid: Tuple[int, int, int]):
         return FlashCorr(fmap1, list(flash_pyr), dense)
     fmap1, pyramid = state
     if fmap1 is not None:
-        return OnTheFlyCorr(fmap1, list(pyramid))
+        # Pooled 4D target features -> OnTheFly; packed 3D -> FlashCorr2.
+        if pyramid[0].ndim == 4:
+            return OnTheFlyCorr(fmap1, list(pyramid))
+        return FlashCorr2(fmap1, list(pyramid))
     if pyramid[0].ndim == 4:
         return BandCorrPyramid(list(pyramid), (n, h, w), (h, w))
     if pyramid[0].ndim == 3:
