@@ -289,3 +289,28 @@ def test_stride1_feature_cache_matches_per_frame_tiled():
     rolling = eng.compute_flows_tiled_stride1(frames, tile_size=96)
     scale = max(1.0, float(np.abs(per_frame).max()))
     assert np.max(np.abs(per_frame - rolling)) / scale < 2e-3
+
+
+def test_stride1_window_batching_matches_single():
+    """window_batch>1 stacks consecutive windows into one device dispatch
+    (tile-group batch dim); outputs equal the per-window loop exactly —
+    same params, same features, just a bigger batch."""
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
+
+    cfg = ModelConfig(
+        model="videoflow", architecture="mof", sequence_length=5,
+        decoder_depth=1,
+    )
+    eng = FlowEngine(cfg)
+    eng.load_model("__random_init__")
+    frames = (np.random.default_rng(5).random((7, 96, 256, 3)) * 255).astype(np.uint8)
+    single = eng.compute_flows_tiled_stride1(frames, tile_size=96)
+    seen = []
+    batched = eng.compute_flows_tiled_stride1(
+        frames, tile_size=96, window_batch=3,
+        progress_cb=lambda i, f: seen.append(i),
+    )
+    assert seen == list(range(7))  # per-frame callbacks preserved
+    scale = max(1.0, float(np.abs(single).max()))
+    assert np.max(np.abs(single - batched)) / scale < 2e-3

@@ -525,6 +525,7 @@ class FlowEngine:
         tile_size: int = TILE_SIZE,
         overlap: int = 0,
         progress_cb=None,
+        window_batch: int = 1,
     ) -> np.ndarray:
         """Stride-1 tile-mode flows for EVERY frame with per-frame feature
         reuse.
@@ -569,34 +570,56 @@ class FlowEngine:
         make_fns = self._videoflow_stride1_fns
         caches: Dict = {shape: {} for shape in groups}
         flows_out = np.empty((n, h, w, 2), np.float32)
-        for i in range(n):
-            win = centered_window_indices(n, i, t)
-            tile_flows: List = [None] * len(tiles_info)
+        wb = max(1, window_batch)
+        for i0 in range(0, n, wb):
+            outs = list(range(i0, min(n, i0 + wb)))
+            wins = [centered_window_indices(n, i, t) for i in outs]
+            tile_flows: List[List] = [
+                [None] * len(tiles_info) for _ in outs
+            ]
             for shape, idxs in groups.items():
                 feat_j, enc_j, ref_j = make_fns(*shape)
                 cache = caches[shape]
-                for f in dict.fromkeys(win):  # unique, ordered
+                needed = dict.fromkeys(f for win in wins for f in win)
+                for f in needed:  # unique, ordered
                     if f not in cache:
                         tiles = extract_tile_group(
                             arr[f : f + 1], tiles_info, idxs, overlap
                         )[:, 0]
                         cache[f] = feat_j(self.params, jnp.asarray(tiles))
                 # Evict frames that can no longer appear in a window.
-                low = max(0, i - t)
+                low = max(0, i0 - t)
                 for f in [f for f in cache if f < low]:
                     del cache[f]
-                feats_w = jnp.stack([cache[f][0] for f in win], axis=1)
-                ctx_w = jnp.stack([cache[f][1] for f in win], axis=1)
+                # Windows of this batch stack along the tile-group batch
+                # dim (window-major) — one encode+refine dispatch covers
+                # wb windows; HBM headroom set by the corr impl (flash2
+                # keeps no volumes, so wb>1 fits where dense would not).
+                feats_w = jnp.concatenate(
+                    [
+                        jnp.stack([cache[f][0] for f in win], axis=1)
+                        for win in wins
+                    ]
+                )
+                ctx_w = jnp.concatenate(
+                    [
+                        jnp.stack([cache[f][1] for f in win], axis=1)
+                        for win in wins
+                    ]
+                )
                 group_flows = np.asarray(
                     ref_j(self.params, enc_j(self.params, feats_w, ctx_w))
                 )
-                for j, ti in enumerate(idxs):
-                    tile_flows[ti] = group_flows[j]
-            flows_out[i] = paste_tile_flows(
-                tile_flows, tiles_info, w, h, tile_size, overlap
-            )
-            if progress_cb is not None:
-                progress_cb(i, flows_out[i])
+                ntile = len(idxs)
+                for k in range(len(wins)):
+                    for j, ti in enumerate(idxs):
+                        tile_flows[k][ti] = group_flows[k * ntile + j]
+            for k, i in enumerate(outs):
+                flows_out[i] = paste_tile_flows(
+                    tile_flows[k], tiles_info, w, h, tile_size, overlap
+                )
+                if progress_cb is not None:
+                    progress_cb(i, flows_out[i])
         return flows_out
 
     def stream_flows(
