@@ -53,19 +53,30 @@ remat-relayout of jit-internal volumes: 12-iteration 2-direction lookup
 0.73 s -> 0.34 s at the 1280-tile, whole-window bench 0.046 -> 0.523
 frames/s stride-1 across the round.
 
-## Round-3 plan (in priority order)
+## Round-3 outcome (measurements in docs/ROUND3_NOTES.md §2)
 
-1. Pallas fused lookup: the remaining 0.34 s is materialization traffic
-   (bands/C/patch intermediates, ~2x the volume bytes).  A kernel that
-   builds the one-hot selects in VMEM and streams the volume once would
-   approach the ~10 ms/iteration bandwidth floor.  Bring-up rule from
-   round 1 still stands: interpret mode on CPU first; nested-vmap
-   dynamic_slice lowering CRASHED the v5e worker via the remote-compile
-   harness.
-2. On-the-fly blockwise correlation in Pallas (never materialize the
-   volume): MXU matmul per (query block, region) — the only viable
-   full-frame 4K path; the XLA OnTheFlyCorr fallback is correct but
-   scalar-gather-bound (~30 min/lookup at 2160p).
-3. Pallas fused PCBlock (SK update stack measures ~6x off its FLOP
-   floor).
+Three compiled Pallas kernels now exist; the decisive facts:
+
+1. `flashcorr.py` (v1): fused on-the-fly correlation + patch lookup.
+   The kernel runs at ~74% MXU utilization for its formulation, but the
+   FORMULATION carries 1.6x lane padding, a 1x-of-corr select tax, and
+   a deep-level dense sidecar whose band intermediates are level-size-
+   independent (~40% of lookup time).  Index prep + bilinear epilogue
+   measured NEGLIGIBLE (~1 ms/call) — the round-2 guess that
+   "materialization traffic" was the fat was wrong for the flash path.
+2. `flashcorr2.py` (v2, production candidate): phase-packed layout —
+   zero lane padding at every level (g rows per 640-lane group + the
+   dense path's phase arithmetic; phase reaches sublanes via a one-hot
+   identity-matmul transpose), all levels through the kernel against
+   avg-pooled features (== pooled volumes exactly, by linearity).
+   No volume build, no volume bytes in HBM, constant VMEM in grid size
+   — the same kernel is the full-frame >=4K path.
+3. `bandlookup.py`: chunk-range DMA over a materialized row-outer
+   volume.  SLOWER than the XLA dense stream at product shapes (291 vs
+   173 ms/12-iter smooth, 488 chaotic; 1.67x volume bytes) — per-MXU-op
+   issue cost of many small selects beats the DMA savings.  Kept as
+   `corr_impl='band'`.
+
+Still open: Pallas fused PCBlock (SK update stack ~6x off its FLOP
+floor — blocked on device profiling during the round-3 relay outage).
 """

@@ -370,6 +370,11 @@ class FlowEngine:
                 pair = jnp.stack([prev, cur])[None]  # [1, 2, ph, pw, 3]
                 init = prev_low if warm_start else None
                 flow, mem, flow_low = model.apply(params, pair, mem, init)
+                # Carried-state guard (see memflownet.CARRY_CLAMP): the
+                # warm-start flow rides the carry like the memory tokens.
+                from ..core.memflownet import CARRY_CLAMP
+
+                flow_low = jnp.clip(flow_low, -CARRY_CLAMP, CARRY_CLAMP)
                 return (mem, flow_low), flow[0]
 
             _, flows = jax.lax.scan(
