@@ -72,7 +72,16 @@ def main():
     H, W, T = 1080, 1920, 5
     TILE = 1280
 
-    cfg = ModelConfig(model="videoflow", architecture="mof", sequence_length=T)
+    # Sweep knobs (defaults = the measured product configuration):
+    #   BENCH_CORR = auto|dense|flash|flash2|band   correlation impl
+    #   BENCH_WB   = windows per device dispatch (stride-1 batching)
+    CORR = os.environ.get("BENCH_CORR", "auto")
+    WB = int(os.environ.get("BENCH_WB", "1"))
+
+    cfg = ModelConfig(
+        model="videoflow", architecture="mof", sequence_length=T,
+        corr_impl=CORR,
+    )
     engine = FlowEngine(cfg)
     log("initializing params")
     engine.load_model("__bench_random_init__")
@@ -108,23 +117,30 @@ def main():
     start_idx = T // 2  # first centered window
     feat_caches = [dict() for _ in groups]
 
-    def one_window(i):
+    def one_window(i, wb=1):
+        # wb consecutive stride-1 windows per dispatch (window-major
+        # stacking along the tile-group batch dim, like
+        # engine.compute_flows_tiled_stride1(window_batch=wb)).
         outs = []
+        wins = [centered_window_indices(n_frames, i + k, T) for k in range(wb)]
         for (fns, per_frame, th, tw), cache in zip(groups, feat_caches):
             feat_j, enc_j, ref_j = fns
-            win = centered_window_indices(n_frames, i, T)
-            for f in dict.fromkeys(win):
+            for f in dict.fromkeys(f for win in wins for f in win):
                 if f not in cache:
                     cache[f] = feat_j(engine.params, per_frame[f])
             for f in [f for f in cache if f < i - T]:
                 del cache[f]
-            fw = jnp.stack([cache[f][0] for f in win], axis=1)
-            cw = jnp.stack([cache[f][1] for f in win], axis=1)
+            fw = jnp.concatenate(
+                [jnp.stack([cache[f][0] for f in win], axis=1) for win in wins]
+            )
+            cw = jnp.concatenate(
+                [jnp.stack([cache[f][1] for f in win], axis=1) for win in wins]
+            )
             outs.append(ref_j(engine.params, enc_j(engine.params, fw, cw)))
         return outs
 
-    log("warmup (compiles features/assembly/refine per tile shape)")
-    outs = one_window(start_idx)
+    log(f"warmup (compiles features/assembly/refine per tile shape; WB={WB}, corr={CORR})")
+    outs = one_window(start_idx, WB)
     chk = float(checksum(outs))
     assert np.isfinite(chk), chk
     log(f"warmup done (checksum {chk:.4f}); timing")
@@ -133,11 +149,11 @@ def main():
     # frame's features per window), exactly like a long clip.
     for c in feat_caches:
         c.clear()
-    one_window(start_idx)  # reprime caches for start_idx's window
+    one_window(start_idx, WB)  # reprime caches for start_idx's window
 
     t0 = time.perf_counter()
-    for j in range(iters):
-        outs = one_window(start_idx + 1 + j)
+    for j in range(0, iters, WB):
+        outs = one_window(start_idx + 1 + j, WB)
     chk = float(checksum(outs))
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
@@ -145,7 +161,7 @@ def main():
     stride1_fps = iters / dt  # reference semantics: 1 output frame / window
     log(
         f"{iters} stride-1 windows in {dt:.3f}s -> {stride1_fps:.3f} frames/s "
-        f"(feature-cached product loop)"
+        f"(feature-cached product loop, {WB}/dispatch)"
     )
 
     print(
