@@ -37,7 +37,7 @@ def main():
     except Exception:
         pass
 
-    from tpuflow.core.corr import DenseCorrPyramid, FlashCorr
+    from tpuflow.core.corr import DenseCorrPyramid, FlashCorr, FlashCorr2
 
     TH = int(os.environ.get("TH", "1080"))
     TW = int(os.environ.get("TW", "1280"))
@@ -55,6 +55,8 @@ def main():
     def scal(x):
         return jnp.mean(jnp.abs(x)).astype(jnp.float32)
 
+    only = os.environ.get("ONLY")  # 'flash2' skips the other variants
+
     # --- build-only ---
     def build_dense(f1, f2):
         a = DenseCorrPyramid.build(f1, f2, 4)
@@ -69,8 +71,9 @@ def main():
             out = out + scal(a.dense.pyramid[0]) + scal(b.dense.pyramid[0])
         return out
 
-    print(f"build dense x2dir: {timeit(jax.jit(build_dense), f1, f2)*1e3:.1f} ms", flush=True)
-    print(f"build flash x2dir: {timeit(jax.jit(build_flash), f1, f2)*1e3:.1f} ms", flush=True)
+    if not only:
+        print(f"build dense x2dir: {timeit(jax.jit(build_dense), f1, f2)*1e3:.1f} ms", flush=True)
+        print(f"build flash x2dir: {timeit(jax.jit(build_flash), f1, f2)*1e3:.1f} ms", flush=True)
 
     # --- lookup x12, 2 dirs ---
     def loop(mk):
@@ -94,14 +97,27 @@ def main():
 
         return jax.jit(fn)
 
-    t_dense = timeit(
-        loop(lambda a, b: DenseCorrPyramid.build(a, b, 4)), f1, f2, flow
+    if not only:
+        t_dense = timeit(
+            loop(lambda a, b: DenseCorrPyramid.build(a, b, 4)), f1, f2, flow
+        )
+        print(f"build+lookup x12 dense: {t_dense*1e3:.1f} ms", flush=True)
+        t_flash = timeit(
+            loop(lambda a, b: FlashCorr.build(a, b, 4, flash_levels=FL)), f1, f2, flow
+        )
+        print(f"build+lookup x12 flash(FL={FL}): {t_flash*1e3:.1f} ms", flush=True)
+
+    def build_flash2(f1, f2):
+        a = FlashCorr2.build(f1, f2, 4)
+        b = FlashCorr2.build(f2, f1, 4)
+        return scal(a.packed_pyr[0]) + scal(b.packed_pyr[0])
+
+    print(
+        f"build flash2 x2dir: {timeit(jax.jit(build_flash2), f1, f2)*1e3:.1f} ms",
+        flush=True,
     )
-    print(f"build+lookup x12 dense: {t_dense*1e3:.1f} ms", flush=True)
-    t_flash = timeit(
-        loop(lambda a, b: FlashCorr.build(a, b, 4, flash_levels=FL)), f1, f2, flow
-    )
-    print(f"build+lookup x12 flash(FL={FL}): {t_flash*1e3:.1f} ms", flush=True)
+    t_flash2 = timeit(loop(FlashCorr2.build), f1, f2, flow)
+    print(f"build+lookup x12 flash2: {t_flash2*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__" and not os.environ.get("BREAKDOWN"):
