@@ -131,30 +131,27 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
         um = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // SP
         jm = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // SP
         blockdiag = (um == jm).astype(out_dtype)
-        # One-hot identity: transposes a lane vector into a column via
-        # one tiny matmul (sublane broadcasts of lane data are otherwise
-        # unavailable).
-        eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-        ).astype(jnp.float32)
         et = jax.lax.broadcasted_iota(jnp.int32, (m, SP), 0) % SP
         tt = jax.lax.broadcasted_iota(jnp.int32, (m, SP), 1)
         extract = (et == tt).astype(out_dtype)            # [m, SP]
         lane_phase = (
             jax.lax.broadcasted_iota(jnp.int32, (m, gw), 1) // lw
         ).astype(jnp.float32)
+        ones_gw = jnp.ones((1, gw), jnp.float32)
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (gw, m), 0) % lw
         for si in range(nsub):
             sl = slice(si * m, (si + 1) * m)
             pk_row = pk_ref[0, 0, sl].astype(jnp.float32)  # [m] lanes
-            pk_col = jax.lax.dot_general(
-                eye, pk_row[None, :], (((1,), (1,)), ((), ())),
+            # K=1 outer product transposes the phase lane vector across
+            # sublanes ([1,m] x [1,gw] -> [m,gw]); Mosaic has no direct
+            # lane->sublane broadcast.
+            pk_mat = jax.lax.dot_general(
+                pk_row[None, :], ones_gw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                              # [m, 1]
+            )                                              # [m, gw]
             # Phase mask: keep only the lane group holding this patch
             # row's physical row (dense-path phase arithmetic).
-            bands = bands_ref[si, :, :] * (lane_phase == pk_col).astype(
+            bands = bands_ref[si, :, :] * (lane_phase == pk_mat).astype(
                 out_dtype
             )
             cc_row = cc_ref[0, 0, sl]
