@@ -108,3 +108,31 @@ def test_make_corr_flash2(small_pair):
     f1, f2, _ = small_pair
     fc = make_corr(f1, f2, 3, impl="flash2")
     assert isinstance(fc, FlashCorr2)
+
+
+def test_flash2_inside_mofnet_scan(small_pair):
+    """corr_impl='flash2' through the full MOFNet forward (kernel inside
+    the scanned refine loop, interpret mode) matches the dense path."""
+    import jax
+
+    from tpuflow.core.mofnet import MOFNet
+
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.random((1, 3, 32, 48, 3)).astype(np.float32))
+    kw = dict(
+        encoder="cnn", corr_levels=2, corr_radius=2, decoder_depth=2,
+        dtype=jnp.float32,
+    )
+    m_dense = MOFNet(corr_impl="dense", **kw)
+    m_flash2 = MOFNet(corr_impl="flash2", **kw)
+    params = m_dense.init(jax.random.PRNGKey(0), frames)
+    a_f, a_b = m_dense.apply(params, frames)
+    b_f, b_b = m_flash2.apply(params, frames)
+    # Deep levels pool FEATURES (flash2) vs VOLUMES (dense) — equal math,
+    # different summation order; the difference compounds through the
+    # refine iterations, so compare endpoint flows EPE-style.
+    for a, b in ((a_f, b_f), (a_b, b_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        epe = np.linalg.norm(a - b, axis=-1)
+        scale = np.mean(np.linalg.norm(a, axis=-1)) + 1e-6
+        assert np.mean(epe) / scale < 1e-3, (np.mean(epe), scale)
