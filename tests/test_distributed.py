@@ -161,3 +161,32 @@ def test_two_process_cli_distributed_flow_pass(tmp_path):
     assert ok, (fmt, missing)
     flow0 = mgr.load_cached_flow(cache_dir, 0, fmt)
     assert flow0.ndim == 3 and flow0.shape[-1] == 2
+
+
+def test_compute_flows_distributed_single_process(tmp_path):
+    """Single-process call (no jax.distributed): degrades to the full
+    frame range and writes a complete cache."""
+    import numpy as np
+
+    cv2 = pytest.importorskip("cv2")
+
+    from tpuflow.config import PipelineConfig
+    from tpuflow.pipeline.cache import FlowCacheManager
+    from tpuflow.tools.pipeline import FlowPipeline
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10, (96, 64))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    for i in range(6):
+        w.write(np.roll(base, i * 2, axis=1))
+    w.release()
+
+    cfg = PipelineConfig(
+        input=video, output=str(tmp_path), frames=5, encoder="cnn",
+        allow_random_init=True, device="cpu", skip_lods=True,
+    )
+    pipe = FlowPipeline(cfg)
+    cache_dir = pipe.compute_flows_distributed()
+    ok, fmt, missing = FlowCacheManager().check_cache_exists(cache_dir, 5)
+    assert ok, (fmt, missing)
