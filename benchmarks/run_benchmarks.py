@@ -91,14 +91,18 @@ def bench_tile_1080p_with_cache(n_frames=4):
     eng = _engine("videoflow", "mof", 5)
     frames = np.stack(_frames(max(8, n_frames), 1080, 1920))
     mgr = FlowCacheManager()
+    wb = int(os.environ.get("BENCH_WB", "1"))
     # Warmup compiles the feature/assembly/refine jits per tile shape.
-    eng.compute_flows_tiled_stride1(frames[: eng.config.sequence_length])
+    eng.compute_flows_tiled_stride1(
+        frames[: eng.config.sequence_length], window_batch=wb
+    )
 
     with tempfile.TemporaryDirectory() as cache_dir:
         t0 = time.perf_counter()
         eng.compute_flows_tiled_stride1(
             frames[:n_frames],
             progress_cb=lambda i, fl: mgr.save_flow_to_cache(fl, cache_dir, i, "npz"),
+            window_batch=wb,
         )
         compute_s = time.perf_counter() - t0
 
