@@ -35,11 +35,22 @@ def small_pair():
 def test_pack_dims_zero_waste_for_videoflow_widths():
     # Every VideoFlow tile level width packs to exactly 640 lanes.
     for lh, lw in [(135, 160), (67, 80), (33, 40), (16, 20)]:
-        g, gw, npr = level_pack_dims(lh, lw)
+        g, gw, npr_pad, gr = level_pack_dims(lh, lw)
         assert g * lw == gw == 640
-        assert npr * g >= lh
+        assert npr_pad * g >= lh
+        assert npr_pad % gr == 0
+        # Equalized chunks: padding bounded by nchunks-1 rows.
+        npr = -(-lh // g)
+        assert npr_pad - npr < npr_pad // gr
+    # L0 at the bench tile: 34 pseudo-rows -> 35 padded (5 chunks of 7),
+    # not 40 (5 chunks of 8).
+    _, _, npr_pad, gr = level_pack_dims(135, 160)
+    assert (npr_pad, gr) == (35, 7)
+    # Tiny deep level: single chunk, zero padded pseudo-rows.
+    _, _, npr_pad, gr = level_pack_dims(16, 20)
+    assert npr_pad == gr == 1
     # Irregular width falls back to lane padding, never fails.
-    g, gw, _ = level_pack_dims(10, 100)
+    g, gw, _, _ = level_pack_dims(10, 100)
     assert gw % 128 == 0 and gw >= g * 100
 
 
