@@ -147,3 +147,20 @@ def test_flash2_inside_mofnet_scan(small_pair):
         epe = np.linalg.norm(a - b, axis=-1)
         scale = np.mean(np.linalg.norm(a, axis=-1)) + 1e-6
         assert np.mean(epe) / scale < 1e-3, (np.mean(epe), scale)
+
+
+def test_flash2_irregular_width_fallback():
+    """Widths whose lcm with 128 is too large fall back to lane padding
+    (g=1); the phase mask must still kill the padded lanes (their
+    lane//lw >= 1 never matches pk=0)."""
+    rng = np.random.default_rng(41)
+    f1 = jnp.asarray(rng.normal(size=(1, 8, 23, 16)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 8, 23, 16)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 5, size=(1, 8, 23, 2)).astype(np.float32))
+    g, gw, _, _ = level_pack_dims(8, 23)
+    assert g == 1 and gw == 128  # the fallback under test
+    cp = CorrPyramid.build(f1, f2, 2)
+    fc = FlashCorr2.build(f1, f2, 2)
+    a = np.asarray(cp.lookup(flow, 4))
+    b = np.asarray(fc.lookup(flow, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
