@@ -332,3 +332,41 @@ def test_memflow_long_stream_stays_finite_random_weights():
     frames = (rng.random((40, 64, 96, 3)) * 255).astype(np.uint8)
     flows = eng.stream_flows(frames, warm_start=True)
     assert np.isfinite(np.asarray(flows)).all()
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    """save_params -> engine.load_model(.msgpack): converted-once weights
+    reload natively (no torch), exact to the bit; foreign files fail
+    loudly (SURVEY §5.4 model-side checkpointing)."""
+    import jax.numpy as jnp
+
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.checkpoint import load_params, save_params
+    from tpuflow.runtime.engine import FlowEngine
+
+    cfg = ModelConfig(
+        model="videoflow", architecture="mof", sequence_length=3,
+        decoder_depth=1, encoder="cnn",
+    )
+    src = FlowEngine(cfg)
+    src.load_model("__random_init__")
+    path = str(tmp_path / "weights.msgpack")
+    save_params(path, src.params)
+
+    dst = FlowEngine(cfg)
+    loaded_from = dst.load_model(path)
+    assert loaded_from == path
+    from tpuflow.runtime.convert import flatten_params
+
+    a, b = flatten_params(src.params), flatten_params(dst.params)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    bad = str(tmp_path / "bad.msgpack")
+    with open(bad, "wb") as f:
+        f.write(b"not a checkpoint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_params(bad, src.params)

@@ -1,0 +1,54 @@
+"""Native JAX checkpoint format (msgpack) for converted weights.
+
+The reference only ever loads torch `.pth` files (videoflow_core.py:
+104-110, memflow_loader.py:53).  tpuflow adds a NATIVE format so the
+(torch-dependent, name-table-mediated) conversion runs once:
+
+    params = load_torch_checkpoint_as_params("MOF_sintel.pth", engine)
+    save_params("MOF_sintel.msgpack", params)
+    # later / on hosts without torch:
+    engine.load_model("MOF_sintel.msgpack")
+
+Format: flax.serialization msgpack of the param pytree, wrapped with a
+tiny header {"format": "tpuflow-params", "version": 1} so a truncated
+or foreign file fails loudly instead of deserializing garbage.
+SURVEY §5.4 (checkpoint/resume): this complements the per-frame flow
+cache (data-side resume) with a model-side native checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from flax import serialization
+
+_MAGIC = b"tpuflow-params-v1\n"
+
+NATIVE_SUFFIXES = (".msgpack", ".tpuflow")
+
+
+def is_native_checkpoint(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in NATIVE_SUFFIXES
+
+
+def save_params(path: str, params: Any) -> None:
+    """Serialize a param pytree (atomic write: temp file + rename)."""
+    blob = _MAGIC + serialization.to_bytes(params)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_params(path: str, target: Any) -> Any:
+    """Deserialize into the structure of `target` (an initialized param
+    tree — shapes/dtypes are validated leaf-by-leaf by flax)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(
+            f"{path} is not a tpuflow native checkpoint (bad header); "
+            "torch .pth files go through runtime/convert.py instead"
+        )
+    return serialization.from_bytes(target, blob[len(_MAGIC):])

@@ -138,6 +138,16 @@ class FlowEngine:
         import os
 
         if path and os.path.exists(path):
+            from .checkpoint import is_native_checkpoint, load_params
+
+            if is_native_checkpoint(path):
+                # Native format: the torch conversion ran once and was
+                # saved via runtime/checkpoint.save_params; reload
+                # without torch, validated against the init tree.
+                self.params = load_params(path, self.init_params())
+                self._loaded = True
+                return path
+
             from .convert import load_torch_checkpoint_as_params
 
             # Raises on low checkpoint->param match rate rather than
