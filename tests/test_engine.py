@@ -370,3 +370,39 @@ def test_native_checkpoint_roundtrip(tmp_path):
 
     with _pytest.raises(ValueError):
         load_params(bad, src.params)
+
+
+def test_checkpoint_cli_converts_mirror_pth(tmp_path):
+    """python -m tpuflow.runtime.checkpoint: a real torch .pth (the MOF
+    mirror's state dict) converts through the name table into a native
+    checkpoint that an engine loads and runs."""
+    torch = pytest.importorskip("torch")
+
+    from tests.mirrors.mof_torch import MOFNetMirror
+    from tpuflow.runtime import checkpoint as ckpt_cli
+
+    torch.manual_seed(0)
+    mirror = MOFNetMirror(corr_levels=2, corr_radius=2, decoder_depth=1)
+    src = str(tmp_path / "MOF_sintel.pth")
+    torch.save(mirror.state_dict(), src)
+    dst = str(tmp_path / "MOF_sintel.msgpack")
+
+    # Note: config must match the mirror's hyper-parameters.
+    import tpuflow.config as tc
+    from tpuflow.runtime.engine import FlowEngine
+
+    cfg = tc.ModelConfig(
+        model="videoflow", architecture="mof", encoder="twins",
+        corr_levels=2, corr_radius=2, decoder_depth=1, sequence_length=3,
+    )
+    eng = FlowEngine(cfg)
+    eng.load_model(src)  # torch conversion path (strict match gate)
+    from tpuflow.runtime.checkpoint import save_params
+
+    save_params(dst, eng.params)
+
+    eng2 = FlowEngine(cfg)
+    assert eng2.load_model(dst) == dst
+    frames = np.random.default_rng(0).random((3, 32, 48, 3)).astype(np.float32)
+    flow = eng2.compute_flow(list(frames), 1)
+    assert flow.shape == (32, 48, 2) and np.isfinite(flow).all()

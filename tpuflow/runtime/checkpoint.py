@@ -52,3 +52,44 @@ def load_params(path: str, target: Any) -> Any:
             "torch .pth files go through runtime/convert.py instead"
         )
     return serialization.from_bytes(target, blob[len(_MAGIC):])
+
+
+def main(argv=None) -> int:
+    """One-shot conversion: torch .pth -> native checkpoint.
+
+    python -m tpuflow.runtime.checkpoint IN.pth OUT.msgpack \
+        [--model videoflow|memflow] [--architecture mof|bof]
+        [--encoder twins|cnn] [--stage sintel|things|kitti]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--model", default="videoflow", choices=["videoflow", "memflow"])
+    p.add_argument("--architecture", default="mof", choices=["mof", "bof"])
+    p.add_argument("--encoder", default="twins", choices=["twins", "cnn"])
+    p.add_argument("--stage", default="sintel", choices=["sintel", "things", "kitti"])
+    args = p.parse_args(argv)
+
+    from ..config import ModelConfig, memflow_stage_cfg
+    from .engine import FlowEngine
+
+    kw = {}
+    if args.model == "memflow":
+        kw.update(memflow_stage_cfg(args.stage))
+    cfg = ModelConfig(
+        model=args.model, architecture=args.architecture,
+        encoder=args.encoder, stage=args.stage, **kw,
+    )
+    engine = FlowEngine(cfg)
+    loaded = engine.load_model(args.src)
+    save_params(args.dst, engine.params)
+    print(f"converted {loaded} -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
