@@ -379,7 +379,6 @@ def test_checkpoint_cli_converts_mirror_pth(tmp_path):
     torch = pytest.importorskip("torch")
 
     from tests.mirrors.mof_torch import MOFNetMirror
-    from tpuflow.runtime import checkpoint as ckpt_cli
 
     torch.manual_seed(0)
     mirror = MOFNetMirror(corr_levels=2, corr_radius=2, decoder_depth=1)
