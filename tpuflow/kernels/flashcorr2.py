@@ -61,6 +61,11 @@ GR = int(os.environ.get("TPUFLOW_F2_GR", "8"))      # pseudo-rows per chunk
 SP = 16     # patch side padded to a lane-friendly group (side <= 16)
 LANE = 128
 
+# nsub = QB // QBS must cover QB exactly, or the trailing queries of
+# every block would silently get uninitialized VMEM as their patches.
+assert QB % QBS == 0, f"TPUFLOW_F2_QB ({QB}) must be a multiple of QBS ({QBS})"
+assert QBS > 0 and GR > 0
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

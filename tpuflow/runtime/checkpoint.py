@@ -9,9 +9,9 @@ The reference only ever loads torch `.pth` files (videoflow_core.py:
     # later / on hosts without torch:
     engine.load_model("MOF_sintel.msgpack")
 
-Format: flax.serialization msgpack of the param pytree, wrapped with a
-tiny header {"format": "tpuflow-params", "version": 1} so a truncated
-or foreign file fails loudly instead of deserializing garbage.
+Format: the raw byte magic b"tpuflow-params-v1\\n" followed by the
+flax.serialization msgpack of the param pytree — a truncated or foreign
+file fails loudly on the magic check instead of deserializing garbage.
 SURVEY §5.4 (checkpoint/resume): this complements the per-frame flow
 cache (data-side resume) with a model-side native checkpoint.
 """
@@ -71,6 +71,12 @@ def main(argv=None) -> int:
     p.add_argument("--encoder", default="twins", choices=["twins", "cnn"])
     p.add_argument("--stage", default="sintel", choices=["sintel", "things", "kitti"])
     args = p.parse_args(argv)
+    if not is_native_checkpoint(args.dst):
+        p.error(
+            f"dst must end in one of {NATIVE_SUFFIXES} — engine.load_model "
+            "routes by suffix, so any other extension would be (mis)read "
+            "as a torch checkpoint later"
+        )
 
     from ..config import ModelConfig, memflow_stage_cfg
     from .engine import FlowEngine

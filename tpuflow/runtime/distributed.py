@@ -49,6 +49,15 @@ def init_distributed(
         os.environ.get("JAX_NUM_PROCESSES", "1")
     )
     if num_processes <= 1:
+        if coordinator_address is not None or process_id not in (None, 0):
+            # A coordinator/rank without a process count means a
+            # mis-launched pod: silently running single-host would have
+            # EVERY host compute the full video and race on the cache.
+            raise ValueError(
+                "init_distributed: coordinator_address/process_id given "
+                f"but num_processes={num_processes} — set num_processes "
+                "(or JAX_NUM_PROCESSES) to the pod size"
+            )
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
