@@ -164,3 +164,30 @@ def test_flash2_irregular_width_fallback():
     a = np.asarray(cp.lookup(flow, 4))
     b = np.asarray(fc.lookup(flow, 4))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_flash2_through_engine_split_jits():
+    """corr_impl='flash2' across the engine's encode/refine jit boundary
+    (the bench/product path: FlashCorr2 state rides the MOFEncoded
+    pytree as jit arguments)."""
+    from tpuflow.config import ModelConfig
+    from tpuflow.runtime.engine import FlowEngine
+
+    rng = np.random.default_rng(9)
+    frames = (rng.random((5, 64, 96, 3)) * 255).astype(np.uint8)
+
+    kw = dict(
+        model="videoflow", architecture="mof", sequence_length=5,
+        decoder_depth=1, encoder="cnn",
+    )
+    dense = FlowEngine(ModelConfig(corr_impl="dense", **kw))
+    dense.load_model("__random_init__")
+    flash2 = FlowEngine(ModelConfig(corr_impl="flash2", **kw))
+    flash2.params = dense.params  # identical weights
+    flash2._loaded = True
+
+    a = dense.compute_flow(list(frames), 2)
+    b = flash2.compute_flow(list(frames), 2)
+    epe = np.linalg.norm(a - b, axis=-1)
+    scale = np.mean(np.linalg.norm(a, axis=-1)) + 1e-6
+    assert np.mean(epe) / scale < 1e-3, (np.mean(epe), scale)
