@@ -114,3 +114,34 @@ def test_graft_entry_single():
     out = jax.jit(fn)(params, frames)
     assert out.shape == (1, 64, 64, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_spatial_sharded_forward_matches_replicated():
+    """SPMD spatial partitioning (SURVEY §5.8b): the frames' HEIGHT dim
+    shards over a ('data', 'spatial') mesh; XLA inserts conv halo
+    exchanges and correlation all-gathers.  Output equals the unsharded
+    forward up to float reassociation."""
+    from tpuflow.runtime.engine import build_model
+    from tpuflow.runtime.sharding import shard_spatial_forward
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    rng = np.random.default_rng(7)
+    # H=64 splits over 4 spatial shards of 16 rows.
+    frames = jnp.asarray(rng.random((2, 3, 64, 48, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), frames[:1])
+
+    def fwd(params, frames):
+        f, _ = model.apply(params, frames)
+        return f
+
+    ref = np.asarray(jax.jit(fwd)(params, frames))
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "spatial"))
+    sharded = shard_spatial_forward(fwd, mesh, batch_ndim=5, h_axis=2)
+    out = np.asarray(sharded(params, frames))
+    scale = max(1.0, np.abs(ref).max())
+    assert np.max(np.abs(ref - out)) / scale < 2e-3

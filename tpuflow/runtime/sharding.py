@@ -61,6 +61,36 @@ def shard_batch_forward(fn, mesh: Mesh, batch_ndim: int):
     )
 
 
+def spatial_sharding(mesh: Mesh, ndim: int, h_axis: int) -> NamedSharding:
+    """Shard a spatial (height) dim over 'spatial', dim 0 over 'data'."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    spec[h_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_spatial_forward(fn, mesh: Mesh, batch_ndim: int, h_axis: int):
+    """jit `fn(params, frames)` with frames' HEIGHT dim sharded over
+    'spatial' (and dim 0 over 'data') — SPMD spatial partitioning of ONE
+    frame across devices (SURVEY §5.8b's latency-oriented mode).
+
+    Unlike DP (embarrassingly parallel), this makes XLA insert real
+    collectives: convolution halo exchanges at shard edges and
+    all-gathers for the all-pairs correlation contraction (each query
+    row correlates with the WHOLE target plane) — all riding ICI on
+    hardware.  Numerics match the unsharded forward (SPMD partitioning
+    is value-preserving; float reassociation only).
+    """
+    return jax.jit(
+        fn,
+        in_shardings=(
+            replicated(mesh),
+            spatial_sharding(mesh, batch_ndim, h_axis),
+        ),
+        out_shardings=replicated(mesh),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training (supervised EPE), DP-sharded
 # ---------------------------------------------------------------------------
