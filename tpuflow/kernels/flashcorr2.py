@@ -41,6 +41,19 @@ Blocking (env-tunable for device sweeps):
   GR    pseudo-rows per chunk   (cm = GR*gw lanes per corr dot)
 Defaults fit the 16 MB VMEM budget at gw=640 with full-depth (128)
 select contractions: QB=256, QBS=16, GR=8.
+
+Planned v2.1 (chunk gating, NOT yet implemented): each query's (2r+2)
+patch rows are CONSECUTIVE physical rows, so a query block references a
+contiguous pseudo-row range — with smooth flows that is a small subset
+of L0's chunks, and the ungated kernel spends corr FLOPs, select ops
+and f2-chunk DMA on chunks no query in the block touches.  A
+scalar-prefetched [B, nqb, nm] relevance table could gate the whole
+corr+select body with pl.when, plus a fetch table remapping the f2
+BlockSpec index to clamp(mi, lo, hi) so skipped steps re-reference the
+previous block and Mosaic elides the DMA.  Exactness would be
+preserved: a skipped chunk means no query in the block selects from
+it, so its band contribution was all-zero by construction.  Measure
+the ungated kernel on-device first; gate only if chunk work dominates.
 """
 
 from __future__ import annotations
@@ -65,6 +78,16 @@ LANE = 128
 # every block would silently get uninitialized VMEM as their patches.
 assert QB % QBS == 0, f"TPUFLOW_F2_QB ({QB}) must be a multiple of QBS ({QBS})"
 assert QBS > 0 and GR > 0
+
+# Index vectors are stored 8-sublane-folded ([b, nqb*8, QB*SP//8]) so the
+# per-block index tile has legal Mosaic blocking (second-to-last block dim
+# divisible by 8) at 16 KB VMEM instead of the whole plane.  Each select
+# sub-block's QBS*SP lanes must land inside one folded row:
+_LIDX = QB * SP // 8
+assert _LIDX % LANE == 0, f"QB ({QB}) must be a multiple of 64"
+assert _LIDX % (QBS * SP) == 0, (
+    f"TPUFLOW_F2_QB ({QB}) must be a multiple of 8*QBS ({8 * QBS})"
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -127,7 +150,8 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
     r0 = mi * gr
     for si in range(nsub):
         corr_sub = corr[si * QBS : (si + 1) * QBS].reshape(QBS * gr, gw)
-        hk_row = hk_ref[0, 0, si * QBS * SP : (si + 1) * QBS * SP]
+        hr, hc = divmod(si * QBS * SP, _LIDX)  # static fold coords
+        hk_row = hk_ref[0, hr, hc : hc + QBS * SP]
         u_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 1) // SP
         v_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 0) // gr
         v_g = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 0) % gr
@@ -155,7 +179,8 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
         lane_col = jax.lax.broadcasted_iota(jnp.int32, (gw, m), 0) % lw
         for si in range(nsub):
             sl = slice(si * m, (si + 1) * m)
-            pk_row = pk_ref[0, 0, sl].astype(jnp.float32)  # [m] lanes
+            hr, hc = divmod(si * m, _LIDX)  # static fold coords
+            pk_row = pk_ref[0, hr, hc : hc + m].astype(jnp.float32)  # [m]
             # K=1 outer product transposes the phase lane vector across
             # sublanes ([1,m] x [1,gw] -> [m,gw]); Mosaic has no direct
             # lane->sublane broadcast.
@@ -168,7 +193,7 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
             bands = bands_ref[si, :, :] * (lane_phase == pk_mat).astype(
                 out_dtype
             )
-            cc_row = cc_ref[0, 0, sl]
+            cc_row = cc_ref[0, hr, hc : hc + m]
             ct = (lane_col == cc_row[None, :]).astype(out_dtype)  # [gw, m]
             pf = jax.lax.dot_general(
                 bands, ct, (((1,), (0,)), ((), ())),
@@ -182,10 +207,11 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
 
 
 def _lane_pack(idx: jnp.ndarray, nqb: int) -> jnp.ndarray:
-    """[B, NqPad, side] int32 -> [B, nqb, QB*SP] with -1 in dead lanes."""
+    """[B, NqPad, side] int32 -> [B, nqb*8, QB*SP//8] (8-sublane folded,
+    linear lane order preserved) with -1 in dead lanes."""
     b, nq, side = idx.shape
     pad = jnp.full((b, nq, SP - side), -1, jnp.int32)
-    return jnp.concatenate([idx, pad], axis=2).reshape(b, nqb, QB * SP)
+    return jnp.concatenate([idx, pad], axis=2).reshape(b, nqb * 8, _LIDX)
 
 
 @functools.partial(
@@ -245,11 +271,11 @@ def flash2_patch_level(
         ),
         grid=(b, nqb, nm),
         in_specs=[
-            pl.BlockSpec((1, 1, QB * SP), lambda bi, qi, mi: (bi, qi, 0),
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QB * SP), lambda bi, qi, mi: (bi, qi, 0),
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QB * SP), lambda bi, qi, mi: (bi, qi, 0),
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QB, c), lambda bi, qi, mi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
