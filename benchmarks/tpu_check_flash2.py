@@ -47,17 +47,28 @@ def main():
         return jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))) / scale
 
     rng = np.random.default_rng(23)
-    for name, (bn, lh, lw, c, dt, tol) in {
-        "small-f32": (1, 16, 24, 32, jnp.float32, 2e-4),
-        "small-bf16": (1, 16, 24, 32, jnp.bfloat16, 3e-2),
-        "benchtile-bf16": (3, 135, 160, 256, jnp.bfloat16, 3e-2),
+    # On TPU, f32 matmuls run at DEFAULT precision as bf16 passes on the
+    # MXU; dense vs flash2 then differ by summation order at bf16-pass
+    # granularity (~2e-3 observed).  The f32 EXACTNESS claim is checked
+    # under highest precision; bf16 rows run at product precision.
+    for name, (bn, lh, lw, c, dt, tol, prec) in {
+        "small-f32-highest": (1, 16, 24, 32, jnp.float32, 2e-4, "highest"),
+        "small-f32-default": (1, 16, 24, 32, jnp.float32, 1e-2, None),
+        "small-bf16": (1, 16, 24, 32, jnp.bfloat16, 3e-2, None),
+        "benchtile-bf16": (3, 135, 160, 256, jnp.bfloat16, 3e-2, None),
     }.items():
         f1 = jnp.asarray(rng.normal(size=(bn, lh, lw, c)), dt)
         f2 = jnp.asarray(rng.normal(size=(bn, lh, lw, c)), dt)
         flow = jnp.asarray(
             rng.normal(0, 6, size=(bn, lh, lw, 2)).astype(np.float32)
         )
-        d = float(jax.jit(maxdiff, static_argnums=(3, 4))(f1, f2, flow, 2, 4))
+        import contextlib
+        ctx = (jax.default_matmul_precision(prec) if prec
+               else contextlib.nullcontext())
+        with ctx:
+            d = float(
+                jax.jit(maxdiff, static_argnums=(3, 4))(f1, f2, flow, 2, 4)
+            )
         status = "OK" if d < tol else "FAIL"
         print(f"{name}: rel maxdiff {d:.2e} (tol {tol:g}) {status}", flush=True)
         if d >= tol:
