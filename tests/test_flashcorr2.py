@@ -149,6 +149,28 @@ def test_flash2_inside_mofnet_scan(small_pair):
         assert np.mean(epe) / scale < 1e-3, (np.mean(epe), scale)
 
 
+def test_flash2_chunk_gating_multichunk():
+    """Grid tall enough for nm>1 chunks (lh=128, lw=16 -> g=8, npr=16,
+    nm=2) with flows that concentrate each query block's patch rows in
+    one chunk — the gated kernel must still match the gather path
+    exactly (skipped chunks contribute all-zero bands by construction),
+    including blocks whose range straddles the chunk boundary."""
+    rng = np.random.default_rng(37)
+    f1 = jnp.asarray(rng.normal(size=(1, 128, 16, 16)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, 128, 16, 16)).astype(np.float32))
+    # Mix of smooth (near-zero), large vertical (crossing into the other
+    # chunk), and chaotic per-query flows.
+    flow = rng.normal(0, 2, size=(1, 128, 16, 2)).astype(np.float32)
+    flow[0, :40, :, 1] += 70.0   # push early blocks' patches far down
+    flow[0, 90:, :, 1] -= 70.0   # and late blocks' far up
+    flow = jnp.asarray(flow)
+    cp = CorrPyramid.build(f1, f2, 2)
+    fc = FlashCorr2.build(f1, f2, 2)
+    a = np.asarray(cp.lookup(flow, 4))
+    b = np.asarray(fc.lookup(flow, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_flash2_irregular_width_fallback():
     """Widths whose lcm with 128 is too large fall back to lane padding
     (g=1); the phase mask must still kill the padded lanes (their

@@ -42,18 +42,20 @@ Blocking (env-tunable for device sweeps):
 Defaults fit the 16 MB VMEM budget at gw=640 with full-depth (128)
 select contractions: QB=256, QBS=16, GR=8.
 
-Planned v2.1 (chunk gating, NOT yet implemented): each query's (2r+2)
-patch rows are CONSECUTIVE physical rows, so a query block references a
-contiguous pseudo-row range — with smooth flows that is a small subset
-of L0's chunks, and the ungated kernel spends corr FLOPs, select ops
-and f2-chunk DMA on chunks no query in the block touches.  A
-scalar-prefetched [B, nqb, nm] relevance table could gate the whole
-corr+select body with pl.when, plus a fetch table remapping the f2
-BlockSpec index to clamp(mi, lo, hi) so skipped steps re-reference the
-previous block and Mosaic elides the DMA.  Exactness would be
-preserved: a skipped chunk means no query in the block selects from
-it, so its band contribution was all-zero by construction.  Measure
-the ungated kernel on-device first; gate only if chunk work dominates.
+Chunk gating (v2.1): each query's (2r+2) patch rows are CONSECUTIVE
+physical rows, so a query block references a contiguous pseudo-row
+range — with smooth flows that is a small subset of L0's chunks, and
+an ungated kernel spends corr FLOPs, select ops and f2-chunk DMA on
+chunks no query in the block touches.  A scalar-prefetched
+[B, nqb, nm] fetch table (clamp(mi, lo, hi) of the block's chunk
+range) remaps the f2 BlockSpec index so skipped steps re-reference the
+previous block and Mosaic elides the DMA; relevance is simply
+fetch[mi] == mi, gating the whole corr+select body with pl.when.
+Exactness is preserved: a skipped chunk means no query in the block
+selects from it, so its band contribution was all-zero by
+construction.  Pad queries are edge-REPLICATED (not zeroed) so they
+never widen a block's range.  Worst-case (chaotic flow crossing every
+chunk) degrades to the ungated cost.
 """
 
 from __future__ import annotations
@@ -71,6 +73,10 @@ from jax.experimental.pallas import tpu as pltpu
 QB = int(os.environ.get("TPUFLOW_F2_QB", "256"))    # queries per grid block
 QBS = int(os.environ.get("TPUFLOW_F2_QBS", "16"))   # queries per sub-block
 GR = int(os.environ.get("TPUFLOW_F2_GR", "8"))      # pseudo-rows per chunk
+# Mosaic scoped-VMEM budget for this kernel (MiB).  The 16 MiB default
+# scoped limit is exactly what the default blocking fills; larger
+# QB/QBS/GR sweeps need more (v5e has 128 MiB physical VMEM).
+VMEM_MB = int(os.environ.get("TPUFLOW_F2_VMEM", "32"))
 SP = 16     # patch side padded to a lane-friendly group (side <= 16)
 LANE = 128
 
@@ -131,8 +137,11 @@ def pack_f2_level(f2l: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, npr_pad * gw, c)
 
 
-def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
-            gr: int, gw: int, lw: int, scale: float, out_dtype):
+def _kernel(fetch_ref, hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref,
+            bands_ref, *, gr: int, gw: int, lw: int, scale: float,
+            out_dtype):
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
     mi = pl.program_id(2)
     nsub = QB // QBS
 
@@ -140,28 +149,38 @@ def _kernel(hk_ref, pk_ref, cc_ref, q_ref, f2_ref, out_ref, bands_ref, *,
     def _():
         bands_ref[:] = jnp.zeros_like(bands_ref)
 
-    q = q_ref[0]                       # [QB, C]
-    f2c = f2_ref[0]                    # [gr*gw, C]
-    corr = jax.lax.dot_general(
-        q, f2c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    corr = (corr * scale).astype(out_dtype)   # [QB, gr*gw]
-
-    r0 = mi * gr
-    for si in range(nsub):
-        corr_sub = corr[si * QBS : (si + 1) * QBS].reshape(QBS * gr, gw)
-        hr, hc = divmod(si * QBS * SP, _LIDX)  # static fold coords
-        hk_row = hk_ref[0, hr, hc : hc + QBS * SP]
-        u_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 1) // SP
-        v_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 0) // gr
-        v_g = jax.lax.broadcasted_iota(jnp.int32, (QBS * gr, QBS * SP), 0) % gr
-        rt = ((u_q == v_q) & (v_g + r0 == hk_row[None, :])).astype(out_dtype)
-        sel = jax.lax.dot_general(
-            rt, corr_sub, (((0,), (0,)), ((), ())),
+    # Chunk gating: fetch == mi iff some query in this block touches
+    # chunk mi (fetch = clamp(mi, lo, hi)); a skipped chunk's band
+    # contribution is all-zero by construction, so skipping is exact.
+    @pl.when(fetch_ref[bi, qi, mi] == mi)
+    def _():
+        q = q_ref[0]                       # [QB, C]
+        f2c = f2_ref[0]                    # [gr*gw, C]
+        corr = jax.lax.dot_general(
+            q, f2c, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(out_dtype)            # [QBS*SP, gw]
-        # One-hot rows: accumulation is exact (one nonzero per sum).
-        bands_ref[si, :, :] += sel
+        )
+        corr = (corr * scale).astype(out_dtype)   # [QB, gr*gw]
+
+        r0 = mi * gr
+        for si in range(nsub):
+            corr_sub = corr[si * QBS : (si + 1) * QBS].reshape(QBS * gr, gw)
+            hr, hc = divmod(si * QBS * SP, _LIDX)  # static fold coords
+            hk_row = hk_ref[0, hr, hc : hc + QBS * SP]
+            u_q = jax.lax.broadcasted_iota(
+                jnp.int32, (QBS * gr, QBS * SP), 1) // SP
+            v_q = jax.lax.broadcasted_iota(
+                jnp.int32, (QBS * gr, QBS * SP), 0) // gr
+            v_g = jax.lax.broadcasted_iota(
+                jnp.int32, (QBS * gr, QBS * SP), 0) % gr
+            rt = ((u_q == v_q) & (v_g + r0 == hk_row[None, :])).astype(
+                out_dtype)
+            sel = jax.lax.dot_general(
+                rt, corr_sub, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)            # [QBS*SP, gw]
+            # One-hot rows: accumulation is exact (one nonzero per sum).
+            bands_ref[si, :, :] += sel
 
     @pl.when(mi == pl.num_programs(2) - 1)
     def _():
@@ -256,42 +275,69 @@ def flash2_patch_level(
     nqb = nq_pad // QB
     if nq_pad != nq:
         f1 = jnp.pad(f1, ((0, 0), (0, nq_pad - nq), (0, 0)))
-        rr = jnp.pad(rr, ((0, 0), (0, nq_pad - nq), (0, 0)), constant_values=0)
-        cc = jnp.pad(cc, ((0, 0), (0, nq_pad - nq), (0, 0)), constant_values=0)
+        # Edge-replicate index pads so they never widen a block's chunk
+        # range (their one-hot rows select real rows; f1 pad rows are
+        # zero so the selected values are zeros and discarded anyway).
+        rr = jnp.concatenate(
+            [rr, jnp.broadcast_to(rr[:, -1:], (b, nq_pad - nq, side))], axis=1
+        )
+        cc = jnp.concatenate(
+            [cc, jnp.broadcast_to(cc[:, -1:], (b, nq_pad - nq, side))], axis=1
+        )
 
-    hkl = _lane_pack(rr // g, nqb)
+    hk = rr // g
+    # Fetch table: clamp(mi, lo, hi) of each block's touched chunk range;
+    # fetch[mi] == mi marks a relevant chunk, and repeated indices on
+    # skipped steps let the pipeline elide the f2-chunk DMA.
+    hkb = hk.reshape(b, nqb, QB * side)
+    lo = jnp.min(hkb, axis=2) // gr                       # [b, nqb]
+    hi = jnp.max(hkb, axis=2) // gr
+    mids = jnp.arange(nm, dtype=jnp.int32)[None, None, :]
+    fetch = jnp.clip(mids, lo[:, :, None], hi[:, :, None]).astype(jnp.int32)
+
+    hkl = _lane_pack(hk, nqb)
     pkl = _lane_pack(rr % g, nqb)
     ccl = _lane_pack(cc, nqb)
     dt = f1.dtype
     scale = 1.0 / float(np.sqrt(c))
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nqb, nm),
+        in_specs=[
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi, fetch: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi, fetch: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi, fetch: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QB, c), lambda bi, qi, mi, fetch: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, cm, c),
+                lambda bi, qi, mi, fetch: (bi, fetch[bi, qi, mi], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, QB * SP, SP), lambda bi, qi, mi, fetch: (bi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((QB // QBS, QBS * SP, gw), dt),
+        ],
+    )
     out = pl.pallas_call(
         functools.partial(
             _kernel, gr=gr, gw=gw, lw=lw, scale=scale, out_dtype=dt
         ),
-        grid=(b, nqb, nm),
-        in_specs=[
-            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _LIDX), lambda bi, qi, mi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QB, c), lambda bi, qi, mi: (bi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cm, c), lambda bi, qi, mi: (bi, mi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, QB * SP, SP), lambda bi, qi, mi: (bi, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad * SP, SP), dt),
-        scratch_shapes=[
-            pltpu.VMEM((QB // QBS, QBS * SP, gw), dt),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_MB * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(hkl, pkl, ccl, f1, f2packed)
+    )(fetch, hkl, pkl, ccl, f1, f2packed)
 
     patch = out.reshape(b, nq_pad, SP, SP)[:, :nq, :side, :side]
     return patch
