@@ -46,11 +46,19 @@ def main():
     H8, W8 = TH // 8, TW // 8
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
-    print(f"grid {H8}x{W8}, BN={BN}, flash_levels={FL}", flush=True)
+    # FLOWSCALE=0 (default) is the smooth/converged regime (zero flow,
+    # maximal flash2 chunk gating); FLOWSCALE=s draws N(0, s) per-pixel
+    # flow — chaotic queries that defeat gating (random-init bench
+    # weights produce this regime).
+    fs = float(os.environ.get("FLOWSCALE", "0"))
+    print(f"grid {H8}x{W8}, BN={BN}, flash_levels={FL}, flowscale={fs}", flush=True)
 
     f1 = jnp.asarray(rng.standard_normal((BN, H8, W8, 256)), dt)
     f2 = jnp.asarray(rng.standard_normal((BN, H8, W8, 256)), dt)
-    flow = jnp.zeros((BN, H8, W8, 2))
+    flow = jnp.asarray(
+        rng.normal(0, fs, (BN, H8, W8, 2)) if fs else np.zeros((BN, H8, W8, 2)),
+        jnp.float32,
+    )
 
     def scal(x):
         return jnp.mean(jnp.abs(x)).astype(jnp.float32)

@@ -18,11 +18,15 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=8):
-    out = jax.block_until_ready(fn(*args))
+    # float() forces a device->host transfer of the scalar result: on the
+    # axon relay block_until_ready returns before remote execution
+    # finishes, so it times dispatch, not compute (all-zero timings).
+    out = fn(*args)
+    float(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)
     return (time.perf_counter() - t0) / iters
 
 

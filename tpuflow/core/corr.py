@@ -1123,10 +1123,12 @@ def make_corr(
     """Pick the correlation implementation.
 
     'auto' materializes the volume wherever it fits (dense gather-free
-    lookup — the fast path; covers 1280x1280 tiles, hw=160x160) and goes
-    on-the-fly only for larger feature grids where the full volume would
-    blow HBM (full-frame 4K; static decision — shapes are known at trace
-    time).  'gather' keeps the round-1 patch-take lookup for comparison."""
+    lookup — flow-independent cost) and switches to the FlashCorr2
+    Pallas kernel for larger feature grids where the full volume would
+    blow HBM (full-frame >=1440p; static decision — shapes are known at
+    trace time).  'flash2' forces the kernel everywhere — the faster
+    choice when flows are smooth/converged (see the regime note below).
+    'gather' keeps the round-1 patch-take lookup for comparison."""
     if impl == "materialized" or impl == "dense":
         return DenseCorrPyramid.build(fmap1, fmap2, num_levels)
     if impl == "gather":
@@ -1141,16 +1143,23 @@ def make_corr(
         return BandCorrPyramid.build(fmap1, fmap2, num_levels)
     hw = fmap1.shape[1] * fmap1.shape[2]
     if hw > materialize_threshold:
-        # Too big to materialize: recompute rows from VMEM-resident
-        # features (FlashCorr Pallas kernel) on TPU; XLA fallback off it.
+        # Too big to materialize: FlashCorr2 recomputes correlation rows
+        # on the MXU from packed pooled features — one 4-level 2160p
+        # full-frame lookup measured 0.079 s vs the XLA OnTheFlyCorr
+        # fallback's ~30 min (v5e, benchmarks/micro_4k.py).
         if jax.default_backend() == "tpu":
-            return FlashCorr.build(fmap1, fmap2, num_levels)
+            return FlashCorr2.build(fmap1, fmap2, num_levels)
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
-    # Materializable: the XLA dense one-hot stream wins on-device — the
-    # banded Pallas variant measured 291 ms vs dense 173 ms per
-    # 12-iteration lookup at the bench tile (smooth flow; 488 ms
-    # chaotic) and its row-outer layout costs 1.67x the volume bytes
-    # (benchmarks/micro_bandlookup.py, v5e) — per-MXU-op issue cost of
-    # the many small selects dominates the DMA savings.  `impl='band'`
-    # keeps the kernel reachable for larger-grid regimes.
+    # Materializable: dense vs flash2 is REGIME-dependent (v5e,
+    # benchmarks/micro_corrvariants.py, 12-iteration 2-direction lookup
+    # at the bench tile): flash2's chunk gating wins when flows are
+    # smooth/converged (617 ms + 8 ms build vs dense 669 + 164 — real
+    # trained weights on real video), but chaotic per-pixel flows defeat
+    # the gating (FLOWSCALE=40: flash2 855 ms) while dense is
+    # flow-independent.  Default to the robust flow-independent choice;
+    # corr_impl='flash2' selects the smooth-regime winner.  v1 FlashCorr
+    # (681 ms + deep-level sidecar) and the banded DMA variant (291 ms
+    # vs dense 173 ms smooth at round-2 shapes, 1.67x volume bytes) both
+    # lost at every setting; kept reachable via impl= for regression
+    # comparison.
     return DenseCorrPyramid.build(fmap1, fmap2, num_levels)
