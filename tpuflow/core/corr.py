@@ -449,70 +449,70 @@ class DenseCorrPyramid:
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
-        """Volume build in query chunks, each written DIRECTLY into the
-        tile-aligned grouped layout.
+        """Every level as ONE einsum against avg-POOLED target features,
+        written DIRECTLY into the tile-aligned grouped layout.
 
-        Two constraints shape this code (both measured on v5e, see the
-        MOFNet docstring):
-        - a lax.map-stacked volume gets an exotic XLA layout whose
-          relayout to the lookup's layout costs more HBM than the chip
-          has, so levels are built by plain dots + layout-preserving
-          reshapes/pads only;
-        - the full unaligned volume must never coexist with its aligned
-          copy (that chain held ~11 GB of temps), so each query chunk's
-          dot output is padded into the aligned [N, nh_a, gw_a] form
-          immediately and the unaligned chunk is dropped.
-        Aligned shapes (rows mult 8, lanes mult 128, explicit zeros) have
-        a single possible layout, so the encode/refine jit boundary moves
-        these arrays with zero copies; the lookup's row/phase masks keep
-        the alignment zeros inert."""
+        Correlation is linear in the target features, so correlating
+        with 2^l-pooled features equals avg-pooling the level-0 volume
+        (the reference's F.avg_pool2d chain, videoflow corr.py) exactly
+        up to float summation order.  Building each level from pooled
+        FEATURES instead of pooling the materialized VOLUME removes the
+        whole volume-pooling read/write chain AND every unaligned
+        intermediate: the target feature rows are zero-padded up front
+        so the einsum's flat output minor dim is already nh*g*lw (a
+        128-lane multiple), making the [N, nh*g*lw] -> [N, nh, g*lw]
+        reshape layout-preserving.  The previous build — per-chunk
+        einsum -> [Nc, lh, lw] reshape (unaligned minor dims, full
+        relayout copies) -> pad -> regroup -> concat + volume-pool chain
+        — measured ~356 ms per window inside the encode jit at the
+        1080x1280 bench tile vs ~10 ms of intrinsic FLOPs+bandwidth;
+        this form removes every relayout in that chain.
+
+        Aligned shapes (explicit zeros) have a single possible layout,
+        so the encode/refine jit boundary moves these arrays with zero
+        copies; the lookup's row/phase masks keep the alignment zeros
+        inert (zero-padded target rows correlate to exactly 0 and are
+        never selected).  Query-side chunking is unnecessary: XLA fuses
+        the scale+cast epilogue into the matmul, so the f32 product
+        never materializes at full size."""
         b, h, w, c = fmap1.shape
         h2, w2 = fmap2.shape[1], fmap2.shape[2]
         scale = 1.0 / float(np.sqrt(c))
         dt = fmap1.dtype
 
-        def align_level(x, lh, lw):
-            """[Nc, lh, lw] plane chunk -> aligned [Nc, nh_a, gw_a]."""
-            nc = x.shape[0]
+        q = fmap1.reshape(b, h * w, c)
+        # Pool target features in f32: the pooled values feed every
+        # deeper level, and f32 pooling keeps the builder within ulp
+        # bounds of the volume-pooling reference order.
+        f2l = fmap2.astype(jnp.float32)
+        pyramid = []
+        for lvl in range(num_levels):
+            lh, lw = pyramid_level_dims(h2, w2, lvl)
+            if lvl > 0:
+                # Same edge convention as the volume pool: odd trailing
+                # row/col sliced off before the 2x2 mean.
+                ph, pw = f2l.shape[1], f2l.shape[2]
+                f2l = f2l[:, : (ph // 2) * 2, : (pw // 2) * 2]
+                f2l = f2l.reshape(b, lh, 2, lw, 2, c).mean(axis=(2, 4))
             g = choose_group(lh, lw, dt)
             nh = -(-lh // g)
             nh_a, gw_a = aligned_group_dims(lh, lw, g)
-            if nh * g != lh:
-                x = jnp.pad(x, ((0, 0), (0, nh * g - lh), (0, 0)))
-            x = x.reshape(nc, nh, g * lw)
+
+            flat = f2l.astype(dt).reshape(b, lh * lw, c)
+            if nh * g != lh:  # zero target rows: correlate to exactly 0
+                flat = jnp.pad(flat, ((0, 0), (0, (nh * g - lh) * lw), (0, 0)))
+            vol = jnp.einsum(
+                "bnc,bmc->bnm", q, flat, preferred_element_type=jnp.float32
+            )
+            vol = (vol * scale).astype(dt)          # fused matmul epilogue
+            # Minor split at g*lw (a 128 multiple for regular widths):
+            # layout-preserving.
+            vol = vol.reshape(b * h * w, nh, g * lw)
             if (nh_a, gw_a) != (nh, g * lw):
-                x = jnp.pad(x, ((0, 0), (0, nh_a - nh), (0, gw_a - g * lw)))
-            return x
-
-        def pool(x):
-            nc, lh, lw = x.shape
-            x = x[:, : (lh // 2) * 2, : (lw // 2) * 2]
-            return x.reshape(nc, lh // 2, 2, lw // 2, 2).mean(axis=(2, 4))
-
-        rows = max(1, min(h * w, int(5e8 / max(1, 4 * h2 * w2))))
-        lvl0_parts, lvl1_parts = [], []
-        for bi in range(b):
-            for i in range(-(-(h * w) // rows)):
-                blk = jnp.einsum(
-                    "nc,mc->nm",
-                    fmap1.reshape(b, h * w, c)[bi, i * rows : (i + 1) * rows],
-                    fmap2.reshape(b, h2 * w2, c)[bi],
-                    preferred_element_type=jnp.float32,
+                vol = jnp.pad(
+                    vol, ((0, 0), (0, nh_a - nh), (0, gw_a - g * lw))
                 )
-                blk = (blk * scale).astype(dt).reshape(-1, h2, w2)
-                lvl0_parts.append(align_level(blk, h2, w2))
-                if num_levels > 1:
-                    lvl1_parts.append(pool(blk))
-        pyramid = [
-            lvl0_parts[0] if len(lvl0_parts) == 1 else jnp.concatenate(lvl0_parts)
-        ]
-        if num_levels > 1:
-            x = lvl1_parts[0] if len(lvl1_parts) == 1 else jnp.concatenate(lvl1_parts)
-            for lvl in range(1, num_levels):
-                lh, lw = pyramid_level_dims(h2, w2, lvl)
-                pyramid.append(align_level(x, lh, lw))
-                if lvl + 1 < num_levels:
-                    x = pool(x)
+            pyramid.append(vol)
         return cls(pyramid, (b, h, w), (h2, w2))
 
     def lookup(
