@@ -39,8 +39,14 @@ Blocking (env-tunable for device sweeps):
   QB    queries per grid block  (VMEM: bands scratch = nsub*QBS*SP*gw)
   QBS   queries per select sub-block (rt contraction = QBS*gr)
   GR    pseudo-rows per chunk   (cm = GR*gw lanes per corr dot)
-Defaults fit the 16 MB VMEM budget at gw=640 with full-depth (128)
-select contractions: QB=256, QBS=16, GR=8.
+Defaults fit the 16 MB VMEM budget at gw=640: QB=256, QBS=8, GR=8.
+QBS=8 measured 11% faster than 16 at the bench tile (547.8 vs 617.1 ms
+per 12-iter 2-dir lookup, v5e): select and epilogue FLOPs scale as
+QBS^2 x gw while the kernel sits near the VPU-issue bound, so the
+smaller sub-block wins; QBS=4 loses it back to per-op issue overhead
+(639.6 ms).  A bf16-mask variant (all compares/masks in bf16 to halve
+vreg counts, arithmetic relu(1-|d|) masks to dodge Mosaic's replicated
+i1 relayout) measured SLOWER (628 ms) and was reverted.
 
 Chunk gating (v2.1): each query's (2r+2) patch rows are CONSECUTIVE
 physical rows, so a query block references a contiguous pseudo-row
@@ -71,7 +77,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = int(os.environ.get("TPUFLOW_F2_QB", "256"))    # queries per grid block
-QBS = int(os.environ.get("TPUFLOW_F2_QBS", "16"))   # queries per sub-block
+QBS = int(os.environ.get("TPUFLOW_F2_QBS", "8"))    # queries per sub-block
 GR = int(os.environ.get("TPUFLOW_F2_GR", "8"))      # pseudo-rows per chunk
 # Mosaic scoped-VMEM budget for this kernel (MiB).  The 16 MiB default
 # scoped limit is exactly what the default blocking fills; larger
