@@ -77,6 +77,32 @@ Three compiled Pallas kernels now exist; the decisive facts:
    issue cost of many small selects beats the DMA savings.  Kept as
    `corr_impl='band'`.
 
-Still open: Pallas fused PCBlock (SK update stack ~6x off its FLOP
-floor — blocked on device profiling during the round-3 relay outage).
+## Round-3 device sweep outcome (docs/ROUND3_NOTES.md §7-8)
+
+Every variant was measured on the v5e; the standings at the bench tile
+(12-iteration 2-direction lookup, BN=3):
+
+- dense (XLA one-hot stream): 669 ms lookup, flow-INDEPENDENT;
+  build now ~57 ms/window after the pooled-feature rewrite
+  (each level one einsum against 2^l-pooled features, written directly
+  in the aligned layout — enc_j measured 406 -> 107 ms/window).
+- flash2 (QBS=8): 548 ms smooth / ~790 chaotic + 8 ms build.  Chunk
+  gating wins only when flows are smooth/converged; random-init bench
+  flows are chaotic, so DENSE stays the materializable-grid default and
+  flash2 owns the big-grid branch (2160p 4-level lookup 0.079 s vs
+  ~30 min XLA fallback) + `corr_impl='flash2'` for smooth workloads.
+- Probes (TPUFLOW_F2_STAGE / micro_flash2break / micro_denselevels):
+  flash2 spends corr 7.5 / select 7.2 / epilogue 9.3 ms per dir-iter,
+  nearly level-size-independent (VPU-issue-bound); dense is 1.8x off
+  its HBM roofline at L0 and 4.5-5x at deep levels (fixed per-query
+  select costs).  Exact per-query patch extraction costs ~1x of its
+  operand in one-hot work in EVERY formulation tried (XLA batched tiny
+  matmuls, Pallas select+epilogue, band DMA) — the remaining ~2x needs
+  extraction shared across raster-adjacent queries (windowed corr,
+  sketched in ROUND3_NOTES §8).
+
+SK update stack: measured at ~87% of its depthwise/VPU floor
+(profile_pcblock.py with the fixed host-sync timer); XLA already emits
+packed-bf16 VPU ops (dw 15x15 at 2.5-3.2 TF/s > the 2 TF/s f32 bound).
+A Pallas depthwise kernel has no headroom here — CLOSED.
 """
