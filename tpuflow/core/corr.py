@@ -387,13 +387,20 @@ def choose_group(lh: int, lw: int, dtype=jnp.bfloat16) -> int:
     [N, ceil(lh/g), g*lw] (stored tile-ALIGNED, see DenseCorrPyramid.build):
     minimize the aligned (sublane x lane) footprint — sublanes round to a
     multiple of 8, lanes to a multiple of 128 (measured from XLA HBM
-    dumps on v5e, T(8,128)(2,1)) — subject to g*lw <= 512 so the
+    dumps on v5e, T(8,128)(2,1)) — subject to g*lw <= cap so the
     [N, side, g*lw] band intermediates inside the refinement loop stay
     small (big groups make the volume compact but blow up per-iteration
-    traffic)."""
+    traffic).  The cap trades one-time volume-read bytes (small cap ->
+    more lane padding -> bigger volume) against per-lookup band bytes
+    (big cap -> wider [N, side, gw] intermediates); 512 won the r3
+    device sweep at the bench tile (benchmarks/micro_denselevels.py),
+    TPUFLOW_GW_CAP overrides for sweeps."""
+    import os
+
+    cap = int(os.environ.get("TPUFLOW_GW_CAP", "512"))
     best_g, best_size = 1, None
     for g in range(1, min(65, 2 * lh)):
-        if g * lw > 512 and g > 1:
+        if g * lw > cap and g > 1:
             break
         nh = -(-lh // g)
         size = -(-nh // 8) * 8 * (-(-(g * lw) // 128) * 128)
