@@ -18,11 +18,42 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _parse_gw_cap() -> int:
+    """TPUFLOW_GW_CAP, parsed + validated ONCE at import.
+
+    The cap must be a single process-wide constant: choose_group runs
+    both at volume BUILD time and again inside the LOOKUP trace, and the
+    two must agree or the lookup's phase/row-group arithmetic silently
+    reads a layout that was never written (ADVICE r3).  Reading the env
+    var at call time allowed an in-process sweep to change it between
+    the two traces; parsing once at import makes build/lookup agreement
+    structural.  Malformed or non-positive values fall back to the
+    measured default (512, benchmarks/micro_denselevels.py) with a
+    warning instead of raising mid-trace."""
+    raw = os.environ.get("TPUFLOW_GW_CAP", "512")
+    try:
+        cap = int(raw)
+    except ValueError:
+        cap = -1
+    if cap <= 0:
+        import warnings
+
+        warnings.warn(
+            f"TPUFLOW_GW_CAP={raw!r} is not a positive integer; using 512"
+        )
+        cap = 512
+    return cap
+
+
+GW_CAP = _parse_gw_cap()
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -393,11 +424,13 @@ def choose_group(lh: int, lw: int, dtype=jnp.bfloat16) -> int:
     traffic).  The cap trades one-time volume-read bytes (small cap ->
     more lane padding -> bigger volume) against per-lookup band bytes
     (big cap -> wider [N, side, gw] intermediates); 512 won the r3
-    device sweep at the bench tile (benchmarks/micro_denselevels.py),
-    TPUFLOW_GW_CAP overrides for sweeps."""
-    import os
-
-    cap = int(os.environ.get("TPUFLOW_GW_CAP", "512"))
+    device sweep at the bench tile (benchmarks/micro_denselevels.py).
+    TPUFLOW_GW_CAP overrides for sweeps — parsed once at import
+    (GW_CAP) so the build trace and the lookup trace can never see
+    different caps (ADVICE r3: a mid-process change would make the
+    lookup decompose rows with a g the stored layout wasn't built
+    with)."""
+    cap = GW_CAP
     best_g, best_size = 1, None
     for g in range(1, min(65, 2 * lh)):
         if g * lw > cap and g > 1:
@@ -453,6 +486,16 @@ class DenseCorrPyramid:
         # (FlashCorr hybrid), `level_offset` shifts the per-level scale:
         # stored level i is semantic level i + level_offset.
         self.level_offset = level_offset
+        # Per-level row-group sizes fixed at construction, so lookup can
+        # never decompose rows with a g the stored layout wasn't built
+        # with (ADVICE r3; choose_group is deterministic now that GW_CAP
+        # is parsed once at import, making this equal to what build()
+        # used — including after the arrays-only jit-boundary round trip
+        # through _corr_state/_corr_from_state).
+        self.groups = [
+            choose_group(*pyramid_level_dims(self.h2, self.w2, i + level_offset))
+            for i in range(len(pyramid))
+        ]
 
     @classmethod
     def build(cls, fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4):
@@ -528,7 +571,24 @@ class DenseCorrPyramid:
         """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32, numerics identical to
         CorrPyramid.lookup (tests enforce equality): border='zeros'
         zero-pad + upstream x-major window channel order (see
-        CorrPyramid.lookup docstring)."""
+        CorrPyramid.lookup docstring).
+
+        On TPU the patch extraction runs in the fused Pallas kernel
+        (kernels/denselookup.py): same one-hot selects on the same
+        grouped volumes, but entirely in VMEM — no bands/column-mask HBM
+        round trips, deep levels at ~their own stream bytes.  Patch
+        entries are exact volume values either way, so the paths are
+        bitwise-equal (tests/test_denselookup.py); TPUFLOW_DENSE_LOOKUP=
+        xla forces the XLA formulation for regression comparison."""
+        mode = os.environ.get("TPUFLOW_DENSE_LOOKUP", "auto")
+        use_kernel = mode == "pallas" or (
+            mode == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_kernel or mode == "interpret":
+            return self._lookup_kernel(
+                flow, radius, border,
+                interpret=jax.default_backend() != "tpu",
+            )
         b, h, w, _ = flow.shape
         r = radius
         side = 2 * r + 2
@@ -544,12 +604,12 @@ class DenseCorrPyramid:
             lvl = lvl0 + self.level_offset
             lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
             gw = volume.shape[2]
-            # g is a pure function of the level dims (the stored gw is
-            # tile-aligned, so gw // lw would be wrong for small levels);
-            # nh is the ALIGNED row count — padded rows are never selected
-            # (hk < ceil(lh/g)) and padded lanes are killed by the phase
-            # mask, so alignment zeros stay inert.
-            g = choose_group(lh, lw, volume.dtype)
+            # g comes from the layout fixed at construction (self.groups;
+            # the stored gw is tile-aligned, so gw // lw would be wrong
+            # for small levels); nh is the ALIGNED row count — padded
+            # rows are never selected (hk < ceil(lh/g)) and padded lanes
+            # are killed by the phase mask, so alignment zeros stay inert.
+            g = self.groups[lvl0]
             nh = volume.shape[1]
             cx = base_x / (2.0**lvl)
             cy = base_y / (2.0**lvl)
@@ -623,6 +683,37 @@ class DenseCorrPyramid:
             sampled = sampled.swapaxes(1, 2)  # upstream x-major order
             out.append(
                 sampled.reshape(b, h, w, (2 * r + 1) ** 2).astype(jnp.float32)
+            )
+        return jnp.concatenate(out, axis=-1)
+
+    def _lookup_kernel(
+        self, flow: jnp.ndarray, radius: int, border: str, interpret: bool
+    ) -> jnp.ndarray:
+        """Kernel-backed lookup: per level, extract the exact-value
+        (2r+2)^2 patches with kernels/denselookup.dense_patch_level and
+        run the shared bilinear epilogue (_patch_to_features)."""
+        from ..kernels.denselookup import dense_patch_level
+
+        b, h, w, _ = flow.shape
+        r = radius
+        hw = h * w
+
+        ys, xs = jnp.mgrid[0:h, 0:w]
+        base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
+        base_y = (ys.astype(jnp.float32)[None] + flow[..., 1]).reshape(b, hw)
+
+        out = []
+        for lvl0, volume in enumerate(self.pyramid):
+            lvl = lvl0 + self.level_offset
+            lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            idx = _radius_patch_indices(base_x, base_y, lvl, lh, lw, r)
+            patch = dense_patch_level(
+                volume, idx.rr, idx.cc,
+                lh=lh, lw=lw, g=self.groups[lvl0], side=2 * r + 2,
+                interpret=interpret,
+            )
+            out.append(
+                _patch_to_features(patch, idx, lh, lw, border, (b, h, w, r))
             )
         return jnp.concatenate(out, axis=-1)
 
