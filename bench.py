@@ -73,10 +73,15 @@ def main():
     TILE = 1280
 
     # Sweep knobs (defaults = the measured product configuration):
-    #   BENCH_CORR = auto|dense|flash|flash2|band   correlation impl
-    #   BENCH_WB   = windows per device dispatch (stride-1 batching)
+    #   BENCH_CORR  = auto|dense|flash|flash2|band   correlation impl
+    #   BENCH_WB    = windows per device dispatch (stride-1 batching)
+    #   BENCH_PAIRS = 1 -> pair-cached loop (measured SLOWER: 0.41 vs
+    #                 0.64 f/s, docs/ROUND4_NOTES.md — per-pair batch-1
+    #                 lookups cost more than the volume rebuild they
+    #                 save; kept for sweeps)
     CORR = os.environ.get("BENCH_CORR", "auto")
     WB = int(os.environ.get("BENCH_WB", "1"))
+    PAIRS = os.environ.get("BENCH_PAIRS", "0") == "1" and WB == 1
 
     cfg = ModelConfig(
         model="videoflow", architecture="mof", sequence_length=T,
@@ -97,9 +102,15 @@ def main():
     # it (engine.compute_flows_tiled_stride1): per-frame encoder features
     # are computed once and windows assemble from the rolling cache;
     # flows reduce to a checksum on device (see DEVICE THROUGHPUT note).
+    # BENCH_PAIRS=1 additionally caches context prep per frame and
+    # correlation volumes per frame PAIR (engine._stride1_pairs_loop).
     groups = []
     for (th, tw), idxs in group_tiles_by_shape(tiles_info).items():
-        fns = engine._videoflow_stride1_fns(th, tw)
+        fns = (
+            engine._videoflow_pair_fns(th, tw)
+            if PAIRS
+            else engine._videoflow_stride1_fns(th, tw)
+        )
         per_frame = [
             jax.device_put(
                 jnp.asarray(extract_tile_group(frames[f : f + 1], tiles_info, idxs, 0)[:, 0])
@@ -116,11 +127,42 @@ def main():
     iters = 8
     start_idx = T // 2  # first centered window
     feat_caches = [dict() for _ in groups]
+    pair_caches = [dict() for _ in groups]
 
-    def one_window(i, wb=1):
-        # wb consecutive stride-1 windows per dispatch (window-major
-        # stacking along the tile-group batch dim, like
-        # engine.compute_flows_tiled_stride1(window_batch=wb)).
+    def one_window_wb1(i):
+        # Steady state per window+group: 1 feat_j+prep_j (new frame),
+        # 2 pair_j (new interior's fwd/bwd volumes), 1 ref_j.
+        outs = []
+        win = centered_window_indices(n_frames, i, T)
+        fwd_keys = [(win[p], win[p + 1]) for p in range(1, T - 1)]
+        bwd_keys = [(win[p], win[p - 1]) for p in range(1, T - 1)]
+        for (fns, per_frame, th, tw), fc, pc in zip(
+            groups, feat_caches, pair_caches
+        ):
+            feat_j, prep_j, pair_j, ref_j = fns
+            for f in dict.fromkeys(win):
+                if f not in fc:
+                    feats, ctx = feat_j(engine.params, per_frame[f])
+                    fc[f] = (feats, prep_j(engine.params, ctx))
+            for key in dict.fromkeys(fwd_keys + bwd_keys):
+                if key not in pc:
+                    pc[key] = pair_j(engine.params, fc[key[0]][0], fc[key[1]][0])
+            # Exact eviction (pair volumes are ~1.5 GB each at the
+            # 1280-tile; a lax age threshold OOMs HBM).
+            needed_pairs = set(fwd_keys) | set(bwd_keys)
+            for f in [f for f in fc if f not in set(win)]:
+                del fc[f]
+            for key in [key for key in pc if key not in needed_pairs]:
+                del pc[key]
+            prepared = tuple(fc[win[p]][1] for p in range(1, T - 1))
+            cf = tuple(pc[key] for key in fwd_keys)
+            cb = tuple(pc[key] for key in bwd_keys)
+            outs.append(ref_j(engine.params, prepared, cf, cb))
+        return outs
+
+    def one_window_trio(i, wb):
+        # The product default: window(-batched) dispatch, windows stack
+        # along the tile-group batch dim through enc_j/ref_j.
         outs = []
         wins = [centered_window_indices(n_frames, i + k, T) for k in range(wb)]
         for (fns, per_frame, th, tw), cache in zip(groups, feat_caches):
@@ -138,6 +180,11 @@ def main():
             )
             outs.append(ref_j(engine.params, enc_j(engine.params, fw, cw)))
         return outs
+
+    def one_window(i, wb=1):
+        if PAIRS:
+            return one_window_wb1(i)
+        return one_window_trio(i, wb)
 
     log(f"warmup (compiles features/assembly/refine per tile shape; WB={WB}, corr={CORR})")
     outs = one_window(start_idx, WB)
@@ -159,9 +206,10 @@ def main():
     assert np.isfinite(chk)
 
     stride1_fps = iters / dt  # reference semantics: 1 output frame / window
+    loop_name = "pair-cached" if PAIRS else "feature-cached"
     log(
         f"{iters} stride-1 windows in {dt:.3f}s -> {stride1_fps:.3f} frames/s "
-        f"(feature-cached product loop, {WB}/dispatch)"
+        f"({loop_name} product loop, {WB}/dispatch)"
     )
 
     print(

@@ -244,3 +244,71 @@ def test_memflow_warm_start():
     init = jnp.ones((1, 4, 4, 2))
     flow, _, _ = model.apply(params, pair, mem0, init)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_refine_pairs_matches_encode_refine():
+    """The pair-cached path (prepare_context per frame + pair_corr_state
+    per frame pair + refine_pairs) matches encode+refine.
+
+    Assertions at two strengths: (a) the per-pair corr states and the
+    per-pair refine LOOKUP branch are BITWISE equal to the batched path
+    (the volumes are the same einsums; per-pair lookup only reorders
+    independent per-query work); (b) end-to-end including the per-frame
+    cnet cache is equal up to float reassociation (the cnet batch is all
+    T frames instead of the T-2 interiors, which can reassociate conv
+    reductions — same tolerance as the engine-level stride-1 test)."""
+    model = MOFNet(**SMALL)
+    rng = np.random.default_rng(11)
+    t = 5
+    frames = jnp.asarray(rng.random((1, t, 32, 48, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames)
+
+    from tpuflow.core.mofnet import MOFEncoded
+
+    enc = model.apply(params, frames, method="encode")
+    ref_fwd, ref_bwd = model.apply(params, enc, method="refine")
+
+    feats, ctx = model.apply(
+        params, frames.reshape(t, 32, 48, 3), method="frame_features"
+    )
+    prepared = tuple(
+        model.apply(params, ctx[f : f + 1], method="prepare_context")
+        for f in range(1, t - 1)
+    )
+    cf = tuple(
+        model.apply(
+            params, feats[f : f + 1], feats[f + 1 : f + 2],
+            method="pair_corr_state",
+        )
+        for f in range(1, t - 1)
+    )
+    cb = tuple(
+        model.apply(
+            params, feats[f : f + 1], feats[f - 1 : f], method="pair_corr_state"
+        )
+        for f in range(1, t - 1)
+    )
+
+    # (a) per-pair volumes == batched volumes, bitwise.
+    for lvl in range(len(enc.corr_fwd[1])):
+        batched = np.asarray(enc.corr_fwd[1][lvl])
+        per_pair = np.stack([np.asarray(s[1][lvl]) for s in cf]).reshape(
+            batched.shape
+        )
+        np.testing.assert_array_equal(batched, per_pair)
+
+    # (a) refine with per-pair states == refine with the batched state,
+    # bitwise (identical inp/net/q/k, only the lookup branch differs).
+    enc_pairs = MOFEncoded(
+        inp=enc.inp, net=enc.net, q=enc.q, k=enc.k, attn=None,
+        corr_fwd=cf, corr_bwd=cb, batch=enc.batch,
+    )
+    pf2, pb2 = model.apply(params, enc_pairs, method="refine")
+    np.testing.assert_array_equal(np.asarray(pf2), np.asarray(ref_fwd))
+    np.testing.assert_array_equal(np.asarray(pb2), np.asarray(ref_bwd))
+
+    # (b) full pair-cached path, up to per-frame-cache reassociation.
+    pair_fwd, pair_bwd = model.apply(params, prepared, cf, cb, method="refine_pairs")
+    scale = max(1.0, float(np.abs(np.asarray(ref_fwd)).max()))
+    assert np.max(np.abs(np.asarray(pair_fwd) - np.asarray(ref_fwd))) / scale < 2e-3
+    assert np.max(np.abs(np.asarray(pair_bwd) - np.asarray(ref_bwd))) / scale < 2e-3

@@ -102,6 +102,14 @@ def _corr_state(corr) -> Tuple:
     return (None, tuple(corr.pyramid))
 
 
+def _is_pair_states(state: Tuple) -> bool:
+    """True when `state` is a tuple of PER-PAIR corr states (one per
+    interior frame) rather than a single batched state.  Batched states
+    start with an array or None (fmap1 slot); per-pair states are tuples
+    of such tuples."""
+    return bool(state) and all(isinstance(s, tuple) for s in state)
+
+
 def _corr_from_state(state: Tuple, grid: Tuple[int, int, int]):
     """Rebuild the correlation object from its arrays-only state.  The
     implementation is inferred structurally: FlashCorr is a 3-tuple;
@@ -143,14 +151,41 @@ class _MOFIteration(nn.Module):
     def __call__(self, carry: "_MOFCarry", consts):
         inp, q, k, attn, corr_fwd_state, corr_bwd_state = consts
         bn, h8, w8, _ = carry.net.shape
-        grid = (bn, h8, w8)
-        corr_fwd = _corr_from_state(corr_fwd_state, grid)
-        corr_bwd = _corr_from_state(corr_bwd_state, grid)
 
-        flow_fwd = carry.flow[..., 0:2]
-        flow_bwd = carry.flow[..., 2:4]
-        cf = corr_fwd.lookup(flow_fwd, self.corr_radius).astype(self.dtype)
-        cb = corr_bwd.lookup(flow_bwd, self.corr_radius).astype(self.dtype)
+        if _is_pair_states(corr_fwd_state):
+            # Per-pair cached volumes (engine stride-1 path): each
+            # interior frame j carries its own (center_j, target) corr
+            # state, built ONCE per frame pair and reused by every
+            # window the pair appears in (VERDICT r3 weak #2).  The
+            # lookup cost is linear in the query count, so N per-pair
+            # lookups cost what one batched lookup does; outputs
+            # re-interleave to the (window, interior) batch order.
+            npair = len(corr_fwd_state)
+            m = bn // npair
+            grid = (m, h8, w8)
+            f4 = carry.flow.reshape(m, npair, h8, w8, 4)
+
+            def pair_lookup(states, chan):
+                outs = [
+                    _corr_from_state(s, grid)
+                    .lookup(f4[:, j, :, :, chan : chan + 2], self.corr_radius)
+                    .astype(self.dtype)
+                    for j, s in enumerate(states)
+                ]
+                return jnp.stack(outs, axis=1).reshape(bn, h8, w8, -1)
+
+            cf = pair_lookup(corr_fwd_state, 0)
+            cb = pair_lookup(corr_bwd_state, 2)
+        else:
+            grid = (bn, h8, w8)
+            corr_fwd = _corr_from_state(corr_fwd_state, grid)
+            corr_bwd = _corr_from_state(corr_bwd_state, grid)
+            cf = corr_fwd.lookup(
+                carry.flow[..., 0:2], self.corr_radius
+            ).astype(self.dtype)
+            cb = corr_bwd.lookup(
+                carry.flow[..., 2:4], self.corr_radius
+            ).astype(self.dtype)
         corr = jnp.concatenate([cf, cb], axis=-1)
 
         update = SKUpdateBlockMOF(
@@ -260,6 +295,70 @@ class MOFNet(nn.Module):
             )
 
         return run_enc(self.fnet, x), run_enc(self.cnet, x)
+
+    def prepare_context(self, ctx_f: jnp.ndarray):
+        """Per-frame window-independent context state: one frame's cnet
+        output [M, h8, w8, 256] -> (net, inp, q, k), each [M, h8, w8, .].
+
+        tanh/relu split and the GMA q/k projections are strictly
+        per-pixel (1x1 convs), so at stride-1 the engine computes them
+        once per frame and reuses them in every window the frame
+        interiors (the reference recomputes att(inp) per window,
+        VideoFlow MOFNetStack forward; VERDICT r3 weak #2)."""
+        net = jnp.tanh(ctx_f[..., : self.hidden_dim])
+        inp = nn.relu(ctx_f[..., self.hidden_dim :])
+        q, k = self.att(inp)
+        return net, inp, q, k
+
+    def pair_corr_state(self, center: jnp.ndarray, target: jnp.ndarray) -> Tuple:
+        """Correlation pyramid for ONE (center, target) frame pair:
+        [M, h8, w8, C] each -> arrays-only corr state.  The volume
+        depends only on the frame pair, not the window — the engine's
+        stride-1 loop builds each pair once and shares it across the
+        (T-1) windows that contain it (the reference rebuilds all T-2
+        neighbor volumes per window, videoflow_processor.py:189-229)."""
+        corr = make_corr(
+            center.astype(self.corr_dtype),
+            target.astype(self.corr_dtype),
+            self.corr_levels,
+            self.corr_impl,
+        )
+        return _corr_state(corr)
+
+    def refine_pairs(self, prepared: Tuple, corr_fwd: Tuple, corr_bwd: Tuple):
+        """Refine from per-frame prepared context + per-pair corr states.
+
+        prepared: tuple over the N interior frames of (net, inp, q, k)
+          as returned by prepare_context, each [M, h8, w8, .].
+        corr_fwd/corr_bwd: tuples over N of pair_corr_state outputs.
+
+        Numerics identical to encode+refine (the batched build computes
+        the same per-pair einsums; stacking only reorders batch rows).
+        The stacks here are small loop-invariant [M*N, h8, w8, 128]
+        copies; the multi-GB volumes pass through UNTOUCHED as the
+        cached per-pair buffers (no relayout: aligned shapes have a
+        single layout)."""
+        n = len(prepared)
+        m = prepared[0][0].shape[0]
+
+        def stack(i):
+            # [M, N, ...] -> [M*N, ...]: (window, interior) batch order,
+            # matching encode_from_features' reshape.
+            return jnp.stack([p[i] for p in prepared], axis=1).reshape(
+                (m * n,) + prepared[0][i].shape[1:]
+            )
+
+        encoded = MOFEncoded(
+            inp=stack(1),
+            net=stack(0),
+            q=stack(2),
+            k=stack(3),
+            attn=None,
+            corr_fwd=corr_fwd,
+            corr_bwd=corr_bwd,
+            batch=jnp.zeros((m,), jnp.int8),
+        )
+        return self.refine(encoded)
 
     def encode_from_features(self, feats: jnp.ndarray, ctx: jnp.ndarray) -> MOFEncoded:
         """Window assembly from per-frame features: feats [B, T, h8, w8,
