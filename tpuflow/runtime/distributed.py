@@ -93,16 +93,26 @@ def host_window_range(
     sequence_length: int,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    context: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     """((decode_lo, decode_hi), (out_lo, out_hi)) for stride-1 window
     inference: the host OWNS output flows [out_lo, out_hi) but must
-    DECODE the surrounding window context too (seq//2 frames each side,
-    clamped) — decode stays host-local, outputs stay disjoint.
+    DECODE surrounding context too — decode stays host-local, outputs
+    stay disjoint.
+
+    `context` overrides the (left, right) context frame counts; default
+    is seq//2 each side (the centered-window need).  MemFlow streams
+    pass a LARGER left context (the memory warm-up prefix,
+    FlowPipeline.compute_flows_distributed): the memory ring carries
+    state from the video start, so a host must replay enough preceding
+    frames for its first owned output's memory to converge to the
+    single-host stream's.
     """
     out_lo, out_hi = host_frame_range(total_frames, process_index, process_count)
     half = sequence_length // 2
-    dec_lo = max(0, out_lo - half)
-    dec_hi = min(total_frames, out_hi + half)
+    left, right = context if context is not None else (half, half)
+    dec_lo = max(0, out_lo - left)
+    dec_hi = min(total_frames, out_hi + right)
     return (dec_lo, dec_hi), (out_lo, out_hi)
 
 

@@ -145,6 +145,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = args_to_config(args)
 
+    if config.device == "cpu":
+        # --device cpu must force the HOST backend before any engine
+        # import initializes XLA: an installed accelerator plugin would
+        # otherwise win platform selection and the run would silently
+        # compute on it (in its own dtype policy — bf16 vs the CPU's
+        # f32) despite the explicit flag.  Reference contract: --device
+        # selects the compute device outright (flow_processor.py CLI).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if not os.path.exists(config.input):
         print(f"Error: Input video not found: {config.input}")
         return 1
