@@ -37,17 +37,23 @@ def main():
     pyramid = jax.jit(lambda a, b: DenseCorrPyramid.build(a, b, 4).pyramid)(f1, f2)
     jax.block_until_ready(pyramid)
     log("volume built")
-    pyr = DenseCorrPyramid(list(pyramid), (bn, gh, gw_), (gh, gw_))
     outs = {}
-    for mode in ("xla", "pallas"):
+    for mode in ("pallas", "xla"):
         os.environ["TPUFLOW_DENSE_LOOKUP"] = mode
-        f = jax.jit(lambda fl: pyr.lookup(fl, r))
-        o = f(flow)
+
+        # Volumes must be jit ARGUMENTS: closing over them bakes them in
+        # as constants and the compile constant-folds for tens of minutes.
+        def run(fl, *levels):
+            pyr = DenseCorrPyramid(list(levels), (bn, gh, gw_), (gh, gw_))
+            return pyr.lookup(fl, r)
+
+        f = jax.jit(run)
+        o = f(flow, *pyramid)
         o.block_until_ready()
         log(f"{mode} compiled")
         t1 = time.perf_counter()
         for _ in range(8):
-            o = f(flow)
+            o = f(flow, *pyramid)
         o.block_until_ready()
         outs[mode] = o
         print(

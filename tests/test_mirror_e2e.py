@@ -1,0 +1,121 @@
+"""Mirror-oracle END-TO-END EPE parity (VERDICT r3 next-item #8).
+
+tests/test_torch_parity.py proves per-module parity: torch mirror
+state_dict -> converter -> flax forward on one window.  This test closes
+the unit-vs-pipeline gap WITHOUT real checkpoints: the torch MOF mirror
+acts as the reference pipeline (decode -> centered T-frame windows ->
+normalize -> forward -> middle-frame flow, the semantics of
+/root/reference/processing/videoflow_processor.py:189-229 and
+videoflow_core.py:193-195), while tpuflow runs its FULL product path —
+the mirror's .pth through the real converter, FlowPipeline.process_video
+(decode, window loop, engine, .flo cache write per
+/root/reference/storage/cache_manager.py:221-245, composition) — and the
+cached flows must match the oracle within EPE tolerance.
+
+Both sides decode the SAME lossy MJPG file with cv2, so their input
+frames are bit-identical; the only differences left are conv/matmul
+summation orders between torch-CPU and XLA-CPU (f32, ~1e-4 scale).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+torch = pytest.importorskip("torch")
+
+from tpuflow.config import ModelConfig, PipelineConfig
+from tpuflow.pipeline.cache import CacheManager
+from tpuflow.runtime.engine import FlowEngine
+from tpuflow.runtime.windows import centered_window_indices
+from tpuflow.tools.pipeline import FlowPipeline
+
+H, W, N, T = 64, 96, 6, 3
+CFG = dict(corr_levels=2, corr_radius=2, decoder_depth=2)
+
+
+def _write_clip(path: str) -> None:
+    """Textured moving scene: enough gradient structure that flows are
+    well-conditioned (pure flat frames make EPE trivially zero)."""
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (W, H))
+    assert out.isOpened()
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (H, W, 3), np.uint8)
+    base = cv2.GaussianBlur(base, (7, 7), 0)
+    for i in range(N):
+        frame = np.roll(base, i * 2, axis=1)
+        frame[20:36, 10 + 4 * i : 26 + 4 * i] = (255, 64, 0)
+        out.write(frame)
+    out.release()
+
+
+def _decode_rgb(path: str) -> np.ndarray:
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.stack(frames)
+
+
+def test_mirror_oracle_full_pipeline_epe(tmp_path):
+    from tests.mirrors.mof_torch import MOFNetMirror
+
+    clip = str(tmp_path / "clip.avi")
+    _write_clip(clip)
+
+    torch.manual_seed(0)
+    mirror = MOFNetMirror(**CFG).eval()
+    pth = str(tmp_path / "MOF_sintel.pth")
+    torch.save(mirror.state_dict(), pth)
+
+    # --- tpuflow: the real product path, mirror weights via the real
+    # converter (engine.load_model on a .pth exercises the strict
+    # name-table gate exactly as a genuine upstream checkpoint would).
+    cfg = ModelConfig(
+        model="videoflow", architecture="mof", encoder="twins",
+        sequence_length=T, **CFG,
+    )
+    eng = FlowEngine(cfg)
+    eng.load_model(pth)
+
+    out_dir = str(tmp_path / "results")
+    os.makedirs(out_dir)
+    pcfg = PipelineConfig(
+        input=clip, output=out_dir, frames=N, sequence_length=T,
+        save_flow="flo", no_autoplay=True, skip_lods=True,
+    )
+    pipe = FlowPipeline(pcfg, engine=eng)
+    out_path = pipe.process_video()
+    assert os.path.exists(out_path)
+
+    cache_dir = pipe.cache_dir_for(clip, 0, N)
+    assert os.path.isdir(cache_dir), cache_dir
+    cm = CacheManager()
+    got = np.stack(
+        [cm.load_cached_flow(cache_dir, i, "flo") for i in range(N)]
+    )
+
+    # --- oracle: the torch mirror run with reference pipeline semantics.
+    frames = _decode_rgb(clip)
+    assert frames.shape == (N, H, W, 3)
+    oracle = np.empty((N, H, W, 2), np.float32)
+    with torch.no_grad():
+        for i in range(N):
+            win = centered_window_indices(N, i, T)
+            x = torch.from_numpy(
+                (frames[win].astype(np.float32) / 255.0)[None]
+            ).permute(0, 1, 4, 2, 3)
+            fwd, _ = mirror(x)  # [1, T-2, 2, H, W]
+            mid = fwd.shape[1] // 2  # middle interior frame
+            oracle[i] = fwd[0, mid].numpy().transpose(1, 2, 0)
+
+    epe = np.sqrt(((got - oracle) ** 2).sum(-1))
+    # f32 torch-CPU vs XLA-CPU reassociation only; random weights still
+    # produce O(1) flow magnitudes, so 1e-2 mean EPE is a tight bound.
+    assert float(epe.mean()) < 1e-2, (epe.mean(), epe.max())
+    assert float(epe.max()) < 1e-1, (epe.mean(), epe.max())

@@ -573,17 +573,21 @@ class DenseCorrPyramid:
         zero-pad + upstream x-major window channel order (see
         CorrPyramid.lookup docstring).
 
-        On TPU the patch extraction runs in the fused Pallas kernel
-        (kernels/denselookup.py): same one-hot selects on the same
-        grouped volumes, but entirely in VMEM — no bands/column-mask HBM
-        round trips, deep levels at ~their own stream bytes.  Patch
+        TPUFLOW_DENSE_LOOKUP=pallas routes patch extraction through the
+        fused Pallas kernel (kernels/denselookup.py): same one-hot
+        selects on the same grouped volumes, entirely in VMEM.  Patch
         entries are exact volume values either way, so the paths are
-        bitwise-equal (tests/test_denselookup.py); TPUFLOW_DENSE_LOOKUP=
-        xla forces the XLA formulation for regression comparison."""
-        mode = os.environ.get("TPUFLOW_DENSE_LOOKUP", "auto")
-        use_kernel = mode == "pallas" or (
-            mode == "auto" and jax.default_backend() == "tpu"
-        )
+        bitwise-equal (tests/test_denselookup.py; verified on-device at
+        both bench grids incl. chaotic/huge flows,
+        benchmarks/check_denselookup_tpu.py).  The kernel measured 1.44x
+        faster ISOLATED (52.9 vs 76.2 ms per 12-iter 2-dir lookup,
+        micro_denselookup) but 2.7% slower IN-CONTEXT (bench 0.621 vs
+        0.638 f/s, same checksum): inside the refine scan XLA fuses the
+        band selects with neighboring ops and elides patch
+        materialization, which the kernel boundary forbids — so the XLA
+        formulation stays the default everywhere (round-4 notes §5)."""
+        mode = os.environ.get("TPUFLOW_DENSE_LOOKUP", "xla")
+        use_kernel = mode == "pallas"
         if use_kernel or mode == "interpret":
             return self._lookup_kernel(
                 flow, radius, border,
