@@ -26,7 +26,7 @@ cv2 = pytest.importorskip("cv2")
 torch = pytest.importorskip("torch")
 
 from tpuflow.config import ModelConfig, PipelineConfig
-from tpuflow.pipeline.cache import CacheManager
+from tpuflow.pipeline.cache import FlowCacheManager
 from tpuflow.runtime.engine import FlowEngine
 from tpuflow.runtime.windows import centered_window_indices
 from tpuflow.tools.pipeline import FlowPipeline
@@ -95,7 +95,7 @@ def test_mirror_oracle_full_pipeline_epe(tmp_path):
 
     cache_dir = pipe.cache_dir_for(clip, 0, N)
     assert os.path.isdir(cache_dir), cache_dir
-    cm = CacheManager()
+    cm = FlowCacheManager()
     got = np.stack(
         [cm.load_cached_flow(cache_dir, i, "flo") for i in range(N)]
     )
