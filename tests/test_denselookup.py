@@ -1,7 +1,11 @@
-"""kernels/denselookup: the fused Pallas dense-pyramid lookup must be
-BITWISE equal to DenseCorrPyramid.lookup's XLA formulation — both
-extract exact volume entries with one-hot selects and share the same
-bilinear epilogue (_patch_to_features)."""
+"""kernels/denselookup: the exact-patch kernel + XLA epilogue ('patch')
+must be BITWISE equal to DenseCorrPyramid.lookup's XLA formulation
+(one-hot selects extract exact volume entries, shared epilogue); the
+fully fused feature kernel ('interpret'/'pallas': extract + border +
+bilinear + x-major repack in VMEM) matches within tight tolerance —
+its bilinear runs in f32 on the exact patch values, which is MORE
+accurate than the XLA storage-dtype epilogue, so f32 volumes agree to
+~1 ulp and bf16 volumes differ by the XLA path's own bf16 rounding."""
 
 import os
 
@@ -19,9 +23,10 @@ from tpuflow.core.corr import (
 from tpuflow.kernels.denselookup import dense_patch_level
 
 
+@pytest.mark.parametrize("mode", ["interpret", "patch"])
 @pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("b,h,w", [(1, 16, 24), (2, 24, 40)])
-def test_dense_patch_kernel_matches_xla(dt, b, h, w):
+def test_dense_patch_kernel_matches_xla(mode, dt, b, h, w):
     rng = np.random.default_rng(7)
     c, r, levels = 32, 4, 3
     f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), dt)
@@ -33,17 +38,28 @@ def test_dense_patch_kernel_matches_xla(dt, b, h, w):
     try:
         os.environ["TPUFLOW_DENSE_LOOKUP"] = "xla"
         ref = pyr.lookup(flow, r)
-        os.environ["TPUFLOW_DENSE_LOOKUP"] = "interpret"
+        os.environ["TPUFLOW_DENSE_LOOKUP"] = mode
         got = pyr.lookup(flow, r)
     finally:
         if old is None:
             os.environ.pop("TPUFLOW_DENSE_LOOKUP", None)
         else:
             os.environ["TPUFLOW_DENSE_LOOKUP"] = old
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    _assert_matches(mode, dt, got, ref)
 
 
-def test_dense_patch_kernel_border_and_tail():
+def _assert_matches(mode, dt, got, ref):
+    got, ref = np.asarray(got), np.asarray(ref)
+    if mode == "patch":
+        np.testing.assert_array_equal(got, ref)
+    elif dt == jnp.float32:
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    else:  # fused f32 bilinear vs the XLA path's bf16 bilinear rounding
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["interpret", "patch"])
+def test_dense_patch_kernel_border_and_tail(mode):
     """Out-of-plane windows (border zeroing happens in the epilogue from
     raw indices) and a query count that does not divide the kernel block
     (tail queries padded by replication, outputs sliced off)."""
@@ -58,11 +74,11 @@ def test_dense_patch_kernel_border_and_tail():
     try:
         os.environ["TPUFLOW_DENSE_LOOKUP"] = "xla"
         ref = pyr.lookup(flow, r)
-        os.environ["TPUFLOW_DENSE_LOOKUP"] = "interpret"
+        os.environ["TPUFLOW_DENSE_LOOKUP"] = mode
         got = pyr.lookup(flow, r)
     finally:
         if old is None:
             os.environ.pop("TPUFLOW_DENSE_LOOKUP", None)
         else:
             os.environ["TPUFLOW_DENSE_LOOKUP"] = old
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    _assert_matches(mode, jnp.float32, got, ref)

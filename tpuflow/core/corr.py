@@ -573,25 +573,26 @@ class DenseCorrPyramid:
         zero-pad + upstream x-major window channel order (see
         CorrPyramid.lookup docstring).
 
-        TPUFLOW_DENSE_LOOKUP=pallas routes patch extraction through the
-        fused Pallas kernel (kernels/denselookup.py): same one-hot
-        selects on the same grouped volumes, entirely in VMEM.  Patch
-        entries are exact volume values either way, so the paths are
-        bitwise-equal (tests/test_denselookup.py; verified on-device at
-        both bench grids incl. chaotic/huge flows,
-        benchmarks/check_denselookup_tpu.py).  The kernel measured 1.44x
-        faster ISOLATED (52.9 vs 76.2 ms per 12-iter 2-dir lookup,
-        micro_denselookup) but 2.7% slower IN-CONTEXT (bench 0.621 vs
-        0.638 f/s, same checksum): inside the refine scan XLA fuses the
-        band selects with neighboring ops and elides patch
-        materialization, which the kernel boundary forbids — so the XLA
-        formulation stays the default everywhere (round-4 notes §5)."""
+        TPUFLOW_DENSE_LOOKUP=pallas routes the WHOLE lookup — one-hot
+        patch extraction + border zeros + bilinear + x-major repack —
+        through the fused Pallas kernel (kernels/denselookup.py
+        dense_feature_level), entirely in VMEM; 'patch' keeps the
+        earlier exact-patch kernel + this XLA epilogue.  Patch entries
+        are exact volume values in every mode; 'patch' is bitwise-equal
+        to the XLA formulation, while the fused kernel's f32 bilinear
+        is MORE accurate than this storage-dtype epilogue and therefore
+        ulp-level different (tests/test_denselookup.py tolerances).
+        History: the non-fused kernel measured 1.44x faster ISOLATED but
+        2.7% slower in-context because its [*, 16, 16] patch output
+        forced ~124 ms/call of slice+relayout epilogue at the 1280 bench
+        tile (round-4 notes §5/§7) — the fused form exists to delete
+        exactly that."""
         mode = os.environ.get("TPUFLOW_DENSE_LOOKUP", "xla")
-        use_kernel = mode == "pallas"
-        if use_kernel or mode == "interpret":
+        if mode in ("pallas", "interpret", "patch"):
             return self._lookup_kernel(
                 flow, radius, border,
                 interpret=jax.default_backend() != "tpu",
+                fused=mode != "patch",
             )
         b, h, w, _ = flow.shape
         r = radius
@@ -691,16 +692,31 @@ class DenseCorrPyramid:
         return jnp.concatenate(out, axis=-1)
 
     def _lookup_kernel(
-        self, flow: jnp.ndarray, radius: int, border: str, interpret: bool
+        self, flow: jnp.ndarray, radius: int, border: str, interpret: bool,
+        fused: bool = True,
     ) -> jnp.ndarray:
-        """Kernel-backed lookup: per level, extract the exact-value
-        (2r+2)^2 patches with kernels/denselookup.dense_patch_level and
-        run the shared bilinear epilogue (_patch_to_features)."""
-        from ..kernels.denselookup import dense_patch_level
+        """Kernel-backed lookup.
 
+        fused=True (mode 'pallas'): kernels/denselookup.dense_feature_level
+        does patch extract + border zeros + bilinear + x-major repack in
+        one VMEM pass; only the dense [B, hw, 128] feature lanes leave
+        the kernel (this removes the [*, 16, 16] -> [*, 10, 10] slice +
+        relayout epilogue that measured ~124 ms/call at the 1280 bench
+        tile — round-4 notes §7).  Requires border='zeros' (the only
+        mode the models use): out-of-range taps become index sentinels.
+
+        fused=False (mode 'patch'): the exact-value (2r+2)^2 patch kernel
+        + the shared XLA bilinear epilogue (_patch_to_features), kept for
+        ablation.  Both are bitwise-equal to the XLA formulation.
+        """
+        from ..kernels.denselookup import dense_feature_level, dense_patch_level
+
+        if border != "zeros":
+            fused = False
         b, h, w, _ = flow.shape
         r = radius
         hw = h * w
+        ncs = (2 * r + 1) ** 2
 
         ys, xs = jnp.mgrid[0:h, 0:w]
         base_x = (xs.astype(jnp.float32)[None] + flow[..., 0]).reshape(b, hw)
@@ -710,15 +726,34 @@ class DenseCorrPyramid:
         for lvl0, volume in enumerate(self.pyramid):
             lvl = lvl0 + self.level_offset
             lh, lw = pyramid_level_dims(self.h2, self.w2, lvl)
+            g = self.groups[lvl0]
             idx = _radius_patch_indices(base_x, base_y, lvl, lh, lw, r)
-            patch = dense_patch_level(
-                volume, idx.rr, idx.cc,
-                lh=lh, lw=lw, g=self.groups[lvl0], side=2 * r + 2,
-                interpret=interpret,
-            )
-            out.append(
-                _patch_to_features(patch, idx, lh, lw, border, (b, h, w, r))
-            )
+            if fused:
+                sent_r = volume.shape[1] * g  # hk >= nh: selects nothing
+                rr = jnp.where(
+                    (idx.yraw >= 0) & (idx.yraw < lh), idx.yraw, sent_r
+                )
+                cc = jnp.where(
+                    (idx.xraw >= 0) & (idx.xraw < lw), idx.xraw, lw
+                )
+                feats = dense_feature_level(
+                    volume, rr, cc,
+                    idx.wx[:, :, 0, 0], idx.wy[:, :, 0, 0],
+                    lh=lh, lw=lw, g=g, side=2 * r + 2,
+                    interpret=interpret,
+                )
+                out.append(
+                    feats[:, :, :ncs].reshape(b, h, w, ncs).astype(jnp.float32)
+                )
+            else:
+                patch = dense_patch_level(
+                    volume, idx.rr, idx.cc,
+                    lh=lh, lw=lw, g=g, side=2 * r + 2,
+                    interpret=interpret,
+                )
+                out.append(
+                    _patch_to_features(patch, idx, lh, lw, border, (b, h, w, r))
+                )
         return jnp.concatenate(out, axis=-1)
 
 
