@@ -566,12 +566,19 @@ class DenseCorrPyramid:
         return cls(pyramid, (b, h, w), (h2, w2))
 
     def lookup(
-        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros"
+        self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros",
+        impl: Optional[str] = None,
     ) -> jnp.ndarray:
         """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32, numerics identical to
         CorrPyramid.lookup (tests enforce equality): border='zeros'
         zero-pad + upstream x-major window channel order (see
         CorrPyramid.lookup docstring).
+
+        Formulation: the TPUFLOW_DENSE_LOOKUP env var (sweep override)
+        beats the `impl` argument (model-level policy, e.g. the engine
+        forces 'xla' under a mesh) beats 'auto' = the fused Pallas
+        kernel on single-host TPU, the XLA one-hot formulation
+        elsewhere (bench 0.641 vs 0.637 f/s — round-4 notes §7).
 
         TPUFLOW_DENSE_LOOKUP=pallas routes the WHOLE lookup — one-hot
         patch extraction + border zeros + bilinear + x-major repack —
@@ -587,7 +594,9 @@ class DenseCorrPyramid:
         forced ~124 ms/call of slice+relayout epilogue at the 1280 bench
         tile (round-4 notes §5/§7) — the fused form exists to delete
         exactly that."""
-        mode = os.environ.get("TPUFLOW_DENSE_LOOKUP", "xla")
+        mode = os.environ.get("TPUFLOW_DENSE_LOOKUP") or impl or "auto"
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "xla"
         if mode in ("pallas", "interpret", "patch"):
             return self._lookup_kernel(
                 flow, radius, border,

@@ -238,6 +238,7 @@ class _MemIteration(nn.Module):
     corr_radius: int
     corr_impl: str
     dtype: Any = jnp.float32
+    dense_lookup: str = "auto"   # DenseCorrPyramid formulation policy
 
     @nn.compact
     def __call__(self, carry: "_MemCarry", consts):
@@ -245,7 +246,12 @@ class _MemIteration(nn.Module):
         b, h8, w8 = carry.motion.shape[:3]
         corr = _corr_from_state(corr_state, self.corr_impl, (b, h8, w8))
 
-        cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
+        if isinstance(corr, DenseCorrPyramid):
+            cf = corr.lookup(
+                carry.flow, self.corr_radius, impl=self.dense_lookup
+            ).astype(self.dtype)
+        else:
+            cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
         update = SKUpdateBlockMem(
             hidden_dim=self.hidden_dim, dtype=self.dtype, name="update_block"
         )
@@ -278,6 +284,10 @@ class MemFlowNet(nn.Module):
     use_rope: bool = False
     corr_dtype: Any = jnp.bfloat16
     corr_impl: str = "auto"
+    dense_lookup: str = "auto"  # DenseCorrPyramid formulation policy
+                                # (fused Pallas kernel on single-host
+                                # TPU; the engine forces 'xla' under a
+                                # mesh — see MOFNet.dense_lookup)
     scan_iters: bool = True   # False = Python unroll (needed for AD)
     dtype: Dtype = jnp.float32
 
@@ -340,6 +350,7 @@ class MemFlowNet(nn.Module):
             corr_radius=self.corr_radius,
             corr_impl=type(corr).__name__,
             dtype=self.dtype,
+            dense_lookup=self.dense_lookup,
             name="iteration",
         )
         if self.scan_iters:

@@ -146,6 +146,13 @@ class _MOFIteration(nn.Module):
     corr_radius: int
     dtype: Any = jnp.float32
     gma_impl: str = "auto"
+    dense_lookup: str = "auto"   # DenseCorrPyramid formulation policy
+                                 # (corr.DenseCorrPyramid.lookup)
+
+    def _lookup(self, corr, flow):
+        if isinstance(corr, DenseCorrPyramid):
+            return corr.lookup(flow, self.corr_radius, impl=self.dense_lookup)
+        return corr.lookup(flow, self.corr_radius)
 
     @nn.compact
     def __call__(self, carry: "_MOFCarry", consts):
@@ -167,9 +174,10 @@ class _MOFIteration(nn.Module):
 
             def pair_lookup(states, chan):
                 outs = [
-                    _corr_from_state(s, grid)
-                    .lookup(f4[:, j, :, :, chan : chan + 2], self.corr_radius)
-                    .astype(self.dtype)
+                    self._lookup(
+                        _corr_from_state(s, grid),
+                        f4[:, j, :, :, chan : chan + 2],
+                    ).astype(self.dtype)
                     for j, s in enumerate(states)
                 ]
                 return jnp.stack(outs, axis=1).reshape(bn, h8, w8, -1)
@@ -180,12 +188,8 @@ class _MOFIteration(nn.Module):
             grid = (bn, h8, w8)
             corr_fwd = _corr_from_state(corr_fwd_state, grid)
             corr_bwd = _corr_from_state(corr_bwd_state, grid)
-            cf = corr_fwd.lookup(
-                carry.flow[..., 0:2], self.corr_radius
-            ).astype(self.dtype)
-            cb = corr_bwd.lookup(
-                carry.flow[..., 2:4], self.corr_radius
-            ).astype(self.dtype)
+            cf = self._lookup(corr_fwd, carry.flow[..., 0:2]).astype(self.dtype)
+            cb = self._lookup(corr_bwd, carry.flow[..., 2:4]).astype(self.dtype)
         corr = jnp.concatenate([cf, cb], axis=-1)
 
         update = SKUpdateBlockMOF(
@@ -224,6 +228,13 @@ class MOFNet(nn.Module):
     encoder: str = "cnn"             # 'cnn' | 'twins'
     corr_dtype: Any = jnp.bfloat16   # cost-volume storage dtype (HBM saver)
     corr_impl: str = "auto"          # 'auto' | 'materialized' | 'direct'
+    dense_lookup: str = "auto"       # dense radius-lookup formulation:
+                                     # 'auto' (fused Pallas kernel on
+                                     # single-host TPU, XLA elsewhere) |
+                                     # 'xla' | 'pallas' | 'patch' — the
+                                     # engine forces 'xla' under a mesh
+                                     # (custom-call partitioning under
+                                     # pjit is unvalidated)
     gma_impl: str = "auto"           # GMA apply: 'auto' (flash on TPU,
                                      # materialize/chunk elsewhere) |
                                      # 'flash' | 'xla' (see gma.Aggregate)
@@ -260,6 +271,7 @@ class MOFNet(nn.Module):
             corr_radius=self.corr_radius,
             dtype=self.dtype,
             gma_impl=self.gma_impl,
+            dense_lookup=self.dense_lookup,
         )
         if self.scan_iters:
             self.iteration = nn.scan(

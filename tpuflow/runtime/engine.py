@@ -62,9 +62,13 @@ def default_compute_dtype():
     return jnp.float32 if backend == "cpu" else jnp.bfloat16
 
 
-def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None):
+def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None,
+                dense_lookup: str = "auto"):
     """`encoder=None` follows cfg.encoder (default 'twins' — the upstream
-    checkpoint-parity backbone, videoflow_core.py:101-110)."""
+    checkpoint-parity backbone, videoflow_core.py:101-110).
+    `dense_lookup`: DenseCorrPyramid formulation policy — the engine
+    passes 'xla' when a mesh is active (Pallas custom-call partitioning
+    under pjit is unvalidated); 'auto' = fused kernel on TPU."""
     encoder = encoder or cfg.encoder
     kw = dict(
         corr_levels=cfg.corr_levels,
@@ -75,6 +79,7 @@ def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None):
         context_dim=cfg.context_dim,
         encoder=encoder,
         corr_impl=cfg.corr_impl,
+        dense_lookup=dense_lookup,
         dtype=dtype or default_compute_dtype(),
     )
     if cfg.model == "memflow":
@@ -104,7 +109,10 @@ class FlowEngine:
         params replicate.  None = single-device.  `dtype`: compute dtype
         (default bf16 on accelerators, f32 on CPU)."""
         self.config = config
-        self.model = build_model(config, encoder, dtype)
+        self.model = build_model(
+            config, encoder, dtype,
+            dense_lookup="auto" if mesh is None else "xla",
+        )
         self.params = params
         self.seed = seed
         self.device = device
