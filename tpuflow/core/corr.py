@@ -1272,9 +1272,10 @@ def make_corr(
     lookup — flow-independent cost) and switches to the FlashCorr2
     Pallas kernel for larger feature grids where the full volume would
     blow HBM (full-frame >=1440p; static decision — shapes are known at
-    trace time).  'flash2' forces the kernel everywhere — the faster
-    choice when flows are smooth/converged (see the regime note below).
-    'gather' keeps the round-1 patch-take lookup for comparison."""
+    trace time).  'flash2' forces the kernel everywhere (since round 4
+    it loses to dense even on smooth flows at materializable grids —
+    see the regime note below).  'gather' keeps the round-1 patch-take
+    lookup for comparison."""
     if impl == "materialized" or impl == "dense":
         return DenseCorrPyramid.build(fmap1, fmap2, num_levels)
     if impl == "gather":
@@ -1296,16 +1297,19 @@ def make_corr(
         if jax.default_backend() == "tpu":
             return FlashCorr2.build(fmap1, fmap2, num_levels)
         return OnTheFlyCorr.build(fmap1, fmap2, num_levels)
-    # Materializable: dense vs flash2 is REGIME-dependent (v5e,
-    # benchmarks/micro_corrvariants.py, 12-iteration 2-direction lookup
-    # at the bench tile): flash2's chunk gating wins when flows are
-    # smooth/converged (617 ms + 8 ms build vs dense 669 + 164 — real
-    # trained weights on real video), but chaotic per-pixel flows defeat
-    # the gating (FLOWSCALE=40: flash2 855 ms) while dense is
-    # flow-independent.  Default to the robust flow-independent choice;
-    # corr_impl='flash2' selects the smooth-regime winner.  v1 FlashCorr
-    # (681 ms + deep-level sidecar) and the banded DMA variant (291 ms
-    # vs dense 173 ms smooth at round-2 shapes, 1.67x volume bytes) both
-    # lost at every setting; kept reachable via impl= for regression
-    # comparison.
+    # Materializable: dense DOMINATES both flow regimes since round 4
+    # (v5e, benchmarks/micro_corrvariants.py, build + 12-iteration
+    # 2-direction lookup at the bench tile): 413-418 ms vs flash2's
+    # 546 + 7 ms in flash2's own BEST case (FLOWSCALE=0, maximal chunk
+    # gating) — and dense is flow-independent while chaotic flows
+    # degrade flash2 further (r3: FLOWSCALE=40 -> 855 ms).  This closes
+    # VERDICT r3 next-step #10 (flow-adaptive dense-vs-flash2 gating)
+    # as moot: there is no regime left where the gate would pick
+    # flash2 at materializable grids.  The round-3 numbers that
+    # motivated it (flash2 617 vs dense 669+164) predate the pooled
+    # dense build and the fused lookup kernel.  v1 FlashCorr (681 ms +
+    # deep-level sidecar) and the banded DMA variant (291 ms vs dense
+    # 173 ms smooth at round-2 shapes, 1.67x volume bytes) both lost at
+    # every setting; all stay reachable via impl= for regression
+    # comparison; flash2 remains the >threshold path above.
     return DenseCorrPyramid.build(fmap1, fmap2, num_levels)
