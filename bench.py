@@ -97,6 +97,10 @@ def main():
     n_frames = T + 11
     frames = rng.integers(0, 256, (n_frames, H, W, 3), dtype=np.uint8)
     _, _, _, _, tiles_info = calculate_tile_grid(W, H, TILE)
+    wb_fit = engine._clamp_window_batch(WB, T, group_tiles_by_shape(tiles_info))
+    if wb_fit != WB:
+        log(f"BENCH_WB={WB} clamped to {wb_fit} (dense volumes must fit HBM)")
+        WB = wb_fit
 
     # Feature-cached stride-1 loop exactly as the product tile path runs
     # it (engine.compute_flows_tiled_stride1): per-frame encoder features

@@ -405,3 +405,21 @@ def test_checkpoint_cli_converts_mirror_pth(tmp_path):
     frames = np.random.default_rng(0).random((3, 32, 48, 3)).astype(np.float32)
     flow = eng2.compute_flow(list(frames), 1)
     assert flow.shape == (32, 48, 2) and np.isfinite(flow).all()
+
+
+def test_window_batch_hbm_clamp():
+    """WB > 1 with materialized dense volumes must be clamped to what
+    fits HBM (a WB=2 refine at the 1080p bench tile presents 16.46 GB
+    of volume arguments to a 15.75 GB chip); volume-free impls and
+    small grids are untouched."""
+    groups_1080p = {(1080, 1280): [0], (1080, 640): [1]}
+    eng = FlowEngine(tiny_cfg())  # corr_impl='auto' -> dense at tile grids
+    assert eng._clamp_window_batch(1, 5, groups_1080p) == 1
+    assert eng._clamp_window_batch(2, 5, groups_1080p) == 1
+    assert eng._clamp_window_batch(8, 5, groups_1080p) == 1
+    # 480p single tile: ~0.4 GB per window -> large batches fit.
+    groups_480p = {(480, 640): [0]}
+    assert eng._clamp_window_batch(4, 5, groups_480p) == 4
+    # flash2 keeps no volumes: never clamped.
+    eng2 = FlowEngine(tiny_cfg(corr_impl="flash2"))
+    assert eng2._clamp_window_batch(8, 5, groups_1080p) == 8

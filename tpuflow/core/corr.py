@@ -770,6 +770,26 @@ def corr_feature_dim(num_levels: int, radius: int) -> int:
     return num_levels * (2 * radius + 1) ** 2
 
 
+def dense_volume_bytes(
+    h8: int, w8: int, num_levels: int = 4, dtype=jnp.bfloat16
+) -> int:
+    """HBM bytes of ONE direction's materialized DenseCorrPyramid for an
+    [h8, w8] feature grid (tile-aligned grouped storage, per batch item).
+    Engines use this to clamp window batching before XLA hits the
+    'arguments exceed HBM' compile error (a WB=2 refine at the 1080p
+    bench tile presents 16.46 GB of volume arguments on a 15.75 GB
+    chip — docs/ROUND4_NOTES.md §9)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    nq = h8 * w8
+    total = 0
+    for lvl in range(num_levels):
+        lh, lw = pyramid_level_dims(h8, w8, lvl)
+        g = choose_group(lh, lw, dtype)
+        nh_a, gw_a = aligned_group_dims(lh, lw, g)
+        total += nq * nh_a * gw_a * itemsize
+    return total
+
+
 def _avg_pool_features(fmap: jnp.ndarray) -> jnp.ndarray:
     """2x2 average pool of [B, H, W, C] (VALID, matching the corr-pyramid
     pooling; reshape-mean — see build_corr_pyramid note)."""

@@ -585,6 +585,54 @@ class FlowEngine:
         self._fwd_cache[key] = (feat_j, prep_j, pair_j, ref_j)
         return self._fwd_cache[key]
 
+    def _clamp_window_batch(self, wb: int, t: int, groups) -> int:
+        """Clamp the stride-1 window batch so the materialized dense
+        correlation volumes of one dispatch fit HBM.
+
+        wb > 1 with dense volumes is a CAPACITY question, not a fusion
+        one: at the 1080p bench tile one window's volumes are ~7.5 GB
+        (2 directions x T-2 interiors), so a WB=2 refine presents
+        16.46 GB of volume ARGUMENTS to a 15.75 GB chip and XLA
+        rightly refuses (measured breakdown: docs/ROUND4_NOTES.md §9).
+        Rather than hard-fail, clamp to what fits and warn; paths that
+        keep no volumes (flash2, and 'auto' above the materialize
+        threshold) are not clamped."""
+        if wb <= 1:
+            return wb
+        from ..core.corr import dense_volume_bytes
+
+        impl = self.config.corr_impl
+        budget = float(os.environ.get("TPUFLOW_WB_HBM_BUDGET", 11e9))
+        per_dev = max(
+            1, self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        )
+        worst = 0
+        for (th, tw), idxs in groups.items():
+            h8, w8 = -(-th // 8), -(-tw // 8)
+            materializes = impl in ("dense", "materialized", "band") or (
+                impl == "auto" and h8 * w8 <= 168 * 168
+            )
+            if not materializes:
+                continue
+            per_win = 2 * (t - 2) * len(idxs) * dense_volume_bytes(h8, w8)
+            if impl == "band":
+                per_win = int(per_win * 1.7)  # band layout padding factor
+            worst = max(worst, per_win)
+        if worst == 0:
+            return wb
+        fit = max(1, int(budget // worst) * per_dev)
+        if self.mesh is not None:  # keep divisibility by the data axis
+            fit = max(per_dev, fit - fit % per_dev)
+        if fit < wb:
+            print(
+                f"[tpuflow] window_batch {wb} -> {fit}: dense correlation "
+                f"volumes are ~{worst / 1e9:.1f} GB per window and must fit "
+                f"HBM (budget {budget / 1e9:.0f} GB; override via "
+                f"TPUFLOW_WB_HBM_BUDGET or corr_impl='flash2')."
+            )
+            return fit
+        return wb
+
     def compute_flows_tiled_stride1(
         self,
         frames: Sequence[np.ndarray],
@@ -646,6 +694,7 @@ class FlowEngine:
             )
         _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
         groups = group_tiles_by_shape(tiles_info)
+        wb = self._clamp_window_batch(wb, t, groups)
         make_fns = self._videoflow_stride1_fns
         caches: Dict = {shape: {} for shape in groups}
         flows_out = np.empty((n, h, w, 2), np.float32)
