@@ -96,7 +96,14 @@ def main():
     rng = np.random.default_rng(0)
     n_frames = T + 11
     frames = rng.integers(0, 256, (n_frames, H, W, 3), dtype=np.uint8)
-    _, _, _, _, tiles_info = calculate_tile_grid(W, H, TILE)
+    from tpuflow.runtime.tiles import resolve_tile_layout
+
+    # Same layout resolution as the engine's product loop (balanced by
+    # default: two uniform 960x1080 tiles = one shape group, one batched
+    # trio; TPUFLOW_TILE_LAYOUT=reference measures the reference grid).
+    _, _, _, _, tiles_info = calculate_tile_grid(
+        W, H, TILE, layout=resolve_tile_layout()
+    )
     wb_fit = engine._clamp_window_batch(WB, T, group_tiles_by_shape(tiles_info))
     if wb_fit != WB:
         log(f"BENCH_WB={WB} clamped to {wb_fit} (dense volumes must fit HBM)")

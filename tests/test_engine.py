@@ -89,6 +89,56 @@ def test_tile_grid_4k():
     assert tiles[-1] == dict(x=2560, y=1280, width=1280, height=880, col=2, row=1)
 
 
+def test_tile_grid_balanced_uniform_groups():
+    """Balanced layout (the engine's TPU product default): same tile
+    count as the reference grid, sizes equalized so every tile shape is
+    identical -> ONE shape group / one compiled trio per resolution."""
+    from tpuflow.runtime.tiles import group_tiles_by_shape
+
+    tw, th, cols, rows, tiles = calculate_tile_grid(
+        1920, 1080, 1280, layout="balanced"
+    )
+    assert (tw, th, cols, rows) == (960, 1080, 2, 1)
+    assert [t["x"] for t in tiles] == [0, 960]
+    assert set(group_tiles_by_shape(tiles)) == {(1080, 960)}
+
+    tw, th, cols, rows, tiles = calculate_tile_grid(
+        3840, 2160, 1280, layout="balanced"
+    )
+    assert (tw, th, cols, rows) == (1280, 1080, 3, 2)
+    assert set(group_tiles_by_shape(tiles)) == {(1080, 1280)}
+
+    # Non-divisible width: uniform mult-of-8 tiles, last pinned to the
+    # right edge (tiny overlap strips, hard paste resolves them).
+    tw, th, _, _, tiles = calculate_tile_grid(1301, 1079, 1280, layout="balanced")
+    assert (tw, th) == (656, 1079)
+    assert tiles[-1]["x"] + tw == 1301
+    canvas = np.zeros((1079, 1301), bool)
+    for t in tiles:
+        assert 0 <= t["x"] and t["x"] + t["width"] <= 1301
+        canvas[t["y"] : t["y"] + t["height"], t["x"] : t["x"] + t["width"]] = True
+    assert canvas.all()
+
+
+def test_paste_balanced_overlap_strip_deterministic():
+    """Overlapping uniform balanced tiles: row-major hard paste — the
+    later tile owns the strip, full coverage, no NaNs/zero holes."""
+    from tpuflow.runtime.tiles import paste_tile_flows
+
+    _, _, _, _, tiles = calculate_tile_grid(1301, 64, 1280, layout="balanced")
+    flows = [
+        np.full((t["height"], t["width"], 2), float(i + 1), np.float32)
+        for i, t in enumerate(tiles)
+    ]
+    full = paste_tile_flows(flows, tiles, 1301, 64, 1280)
+    assert full.shape == (64, 1301, 2)
+    assert (full > 0).all()
+    # Strip [645, 656) is covered by both tiles; tile 1 wins.
+    assert (full[:, 645:656] == 2.0).all()
+    assert (full[:, :645] == 1.0).all()
+    assert (full[:, 656:] == 2.0).all()
+
+
 def test_tile_shape_groups_1080p():
     from tpuflow.runtime.tiles import extract_tile_group, group_tiles_by_shape
 

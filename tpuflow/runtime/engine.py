@@ -45,6 +45,7 @@ from .tiles import (
     extract_tile_group,
     group_tiles_by_shape,
     paste_tile_flows,
+    resolve_tile_layout,
 )
 from .windows import all_window_indices, centered_window_indices, trailing_window_indices
 
@@ -486,7 +487,9 @@ class FlowEngine:
             d = self.mesh.shape.get("data", 1)
             tile_batch += (-tile_batch) % d
 
-        _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
+        _, _, _, _, tiles_info = calculate_tile_grid(
+            w, h, tile_size, layout=resolve_tile_layout()
+        )
         t = self.config.sequence_length
         n = len(frames)
         win = centered_window_indices(n, frame_idx, t)
@@ -692,7 +695,9 @@ class FlowEngine:
             return self._stride1_pairs_loop(
                 arr, tile_size, overlap, progress_cb
             )
-        _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
+        _, _, _, _, tiles_info = calculate_tile_grid(
+            w, h, tile_size, layout=resolve_tile_layout()
+        )
         groups = group_tiles_by_shape(tiles_info)
         wb = self._clamp_window_batch(wb, t, groups)
         make_fns = self._videoflow_stride1_fns
@@ -800,7 +805,9 @@ class FlowEngine:
         serialized fetch into the dispatch path)."""
         n, h, w = arr.shape[:3]
         t = self.config.sequence_length
-        _, _, _, _, tiles_info = calculate_tile_grid(w, h, tile_size)
+        _, _, _, _, tiles_info = calculate_tile_grid(
+            w, h, tile_size, layout=resolve_tile_layout()
+        )
         groups = group_tiles_by_shape(tiles_info)
         fcaches: Dict = {shape: {} for shape in groups}  # f -> (feats, prepared)
         pcaches: Dict = {shape: {} for shape in groups}  # (a,b) -> corr state

@@ -14,6 +14,7 @@ batched forward replaces the reference's per-tile Python loop.  Optional
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -30,13 +31,70 @@ class TileInfo:
     row: int
 
 
+def resolve_tile_layout(layout: str | None = None) -> str:
+    """Product tile layout: 'balanced' (TPU default) or 'reference'.
+
+    Override per-run with TPUFLOW_TILE_LAYOUT=reference to reproduce the
+    reference's exact tile geometry (fixed squares, shrunken edges)."""
+    if layout:
+        return layout
+    return os.environ.get("TPUFLOW_TILE_LAYOUT", "balanced")
+
+
+def _uniform_axis(n: int, k: int) -> Tuple[int, List[int]]:
+    """One size + k start offsets covering [0, n) with uniform tiles.
+
+    Size is ceil(n/k) rounded up to a multiple of 8 (so the model's /8
+    feature grid needs no internal padding); offsets spread evenly, the
+    last pinned to n - size.  Adjacent tiles may overlap by a few pixels;
+    the row-major hard paste resolves the strip deterministically."""
+    if k <= 1:
+        return n, [0]
+    size = min(n, -(-(-(-n // k)) // 8) * 8)
+    span = n - size
+    return size, [round(i * span / (k - 1)) for i in range(k)]
+
+
 def calculate_tile_grid(
-    width: int, height: int, tile_size: int = 1280
+    width: int,
+    height: int,
+    tile_size: int = 1280,
+    layout: str = "reference",
 ) -> Tuple[int, int, int, int, List[dict]]:
     """(tile_w, tile_h, cols, rows, tiles_info) with dict entries matching
-    the reference's keys (videoflow_processor.py:73-110)."""
+    the reference's keys (videoflow_processor.py:73-110).
+
+    layout='reference': the reference's geometry — fixed tile_size
+    squares anchored at multiples of tile_size, edge tiles shrink.  A
+    1920x1080 frame is a 1280x1080 + a 640x1080 tile: TWO shape groups,
+    two compiled forwards, and the small tile pays fixed per-dispatch
+    lookup costs out of proportion to its pixels (docs/ROUND4_NOTES.md §2).
+
+    layout='balanced' (TPU-first, the engine's product default): the same
+    tile COUNT, but sizes balanced so every tile is identical — 1920x1080
+    becomes two 960x1080 tiles, 3840x2160 becomes six 1280x1080 tiles.
+    ONE shape group = one compiled trio batched over all tiles of the
+    window on the MXU, and ~10% less dense-volume HBM (sum of grid² is
+    minimized by equal splits).  Tile seams move relative to the
+    reference; outputs are full-frame flows either way."""
     cols = int(np.ceil(width / tile_size))
     rows = int(np.ceil(height / tile_size))
+    if layout == "balanced":
+        tw, xs = _uniform_axis(width, cols)
+        th, ys = _uniform_axis(height, rows)
+        tiles_info = [
+            {
+                "x": x,
+                "y": y,
+                "width": tw,
+                "height": th,
+                "col": col,
+                "row": row,
+            }
+            for row, y in enumerate(ys)
+            for col, x in enumerate(xs)
+        ]
+        return tw, th, cols, rows, tiles_info
     tiles_info = []
     for row in range(rows):
         for col in range(cols):
