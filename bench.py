@@ -5,9 +5,12 @@ Reproduces BASELINE.json's primary metric ("1080p flow frames/sec/chip,
 MOF seq=5") in the regime the reference itself uses at 1080p: tile mode
 (it needs --tile to fit its 8 GB minimum-spec GPU).  Full-size MOFNet —
 decoder_depth=12, corr_levels=4, corr_radius=4 (videoflow_core.py
-defaults) — bf16 compute, gather-free dense correlation lookup, tiles
-computed at their ACTUAL bucketed shapes (1280x1080 + 640x1080 per
-1920x1080 frame, like the reference's shrunken edge tiles).
+defaults) — bf16 compute, gather-free dense correlation lookup.  Tile
+geometry is the engine's product default: the BALANCED layout (two
+uniform 960x1080 tiles per 1920x1080 frame = one shape group, one
+batched trio per window; runtime/tiles.py).  Set
+TPUFLOW_TILE_LAYOUT=reference to measure the reference's own grid
+(1280x1080 + 640x1080 shrunken-edge tiles, two shape groups).
 
 HEADLINE metric semantics = the reference's own: stride-1, middle-frame
 flow per window (videoflow_core.py:193-195) — one full window pass per

@@ -13,8 +13,12 @@ cost analysis (flops + bytes accessed), and computes floors:
   dense-lookup volume-stream term for ref_j (each direction's grouped
   pyramid is re-streamed through VMEM once per refinement iteration).
 
-It prints a markdown table and writes docs/roofline_r4.json so the
-README ledger is regenerable from one command:
+Tile shapes come from the engine's ACTUAL resolved layout (balanced
+2x 960x1080 by default; TPUFLOW_TILE_LAYOUT=reference measures the
+reference grid) with per-shape-group multiplicity, so the ledger models
+the geometry the headline runs.  It prints a markdown table and writes
+docs/roofline_r5.json so the README ledger is regenerable from one
+command:
 
     python benchmarks/roofline_ledger.py
 
@@ -36,12 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 
 # TPU v5e single chip. MXU: 197 TF/s bf16. HBM: 819 GB/s.
-# VPU: ~2 TF/s calibrated -- the measured SK depthwise rate at which the
-# stack sits at ~90% occupancy (ROUND3_NOTES par.5); the datasheet VPU
-# number is not public, this is the empirical elementwise rate.
+# VPU: empirical depthwise-conv rate, anchored by benchmarks/probe_vpu.py
+# (a known-FLOPs synthetic depthwise microkernel measured on-device in
+# bf16 and f32 — the packed-bf16 question, VERDICT r4 #1).  Override with
+# TPUFLOW_VPU_TFS=<rate> after re-running the probe; 2 TF/s is the
+# round-3 calibration kept as the default until the probe result lands.
 MXU_FLOPS = 197e12
 HBM_BW = 819e9
-VPU_FLOPS = 2e12
+VPU_FLOPS = float(os.environ.get("TPUFLOW_VPU_TFS", "2")) * 1e12
 
 # SK depthwise channel-plane inventory per refinement iteration
 # (ROUND3_NOTES par.5): 15x15 convs over ~1560 planes + the GRU's 7x7
@@ -86,10 +92,19 @@ def main():
     from tpuflow.core import corr as corrmod
     from tpuflow.core.padding import pad_dims
     from tpuflow.runtime.engine import FlowEngine
+    from tpuflow.runtime.tiles import (
+        calculate_tile_grid,
+        group_tiles_by_shape,
+        resolve_tile_layout,
+    )
 
     T = 5
     iters = 12
     interiors = T - 2
+    W, H, TILE = 1920, 1080, 1280
+    layout = resolve_tile_layout()
+    _, _, _, _, tiles_info = calculate_tile_grid(W, H, TILE, layout=layout)
+    shape_groups = group_tiles_by_shape(tiles_info)
     cfg = ModelConfig(
         model="videoflow", architecture="mof", sequence_length=T, corr_impl="auto"
     )
@@ -97,16 +112,27 @@ def main():
     engine.load_model("__bench_random_init__")
     rng = np.random.default_rng(0)
 
-    ledger = {"tiles": [], "rates": {"mxu": MXU_FLOPS, "hbm": HBM_BW, "vpu": VPU_FLOPS}}
+    ledger = {
+        "layout": layout,
+        "tiles": [],
+        "rates": {"mxu": MXU_FLOPS, "hbm": HBM_BW, "vpu": VPU_FLOPS},
+    }
     window_ms = 0.0
     floor_ms = 0.0
+    print(
+        f"layout={layout}: "
+        + ", ".join(f"{len(v)}x {th}x{tw}" for (th, tw), v in shape_groups.items())
+    )
 
-    for th, tw in ((1080, 1280), (1080, 640)):
+    for (th, tw), idxs in shape_groups.items():
+        ntiles = len(idxs)  # tiles per dispatch (the group batches them)
         feat_j, enc_j, ref_j = engine._videoflow_stride1_fns(th, tw)
-        frame = jnp.asarray(rng.integers(0, 256, (1, th, tw, 3), dtype=np.uint8))
+        frame = jnp.asarray(
+            rng.integers(0, 256, (ntiles, th, tw, 3), dtype=np.uint8)
+        )
         pt, pb, pl, pr = pad_dims(th, tw, 8)
         h8, w8 = (th + pt + pb) // 8, (tw + pl + pr) // 8
-        grid = h8 * w8
+        grid = h8 * w8 * ntiles
 
         t_feat = timeit(lambda f: feat_j(engine.params, f), frame)
         feats = feat_j(engine.params, frame)
@@ -122,7 +148,7 @@ def main():
 
         # Analytic structural terms for the refine.
         vol_bytes = corrmod.dense_volume_bytes(h8, w8)  # one direction, BN=1
-        lookup_stream = 2 * interiors * iters * vol_bytes / HBM_BW
+        lookup_stream = ntiles * 2 * interiors * iters * vol_bytes / HBM_BW
         dw_flops = (
             grid
             * (DW15_PLANES * 15 * 15 + DW7_PLANES * 7 * 7)
@@ -168,11 +194,11 @@ def main():
         window_ms += tile_meas
         floor_ms += tile_floor
         ledger["tiles"].append(
-            {"tile": f"{th}x{tw}", "grid": [h8, w8], "stages": stages,
-             "measured_ms": tile_meas, "floor_ms": tile_floor}
+            {"tile": f"{ntiles}x {th}x{tw}", "grid": [h8, w8], "ntiles": ntiles,
+             "stages": stages, "measured_ms": tile_meas, "floor_ms": tile_floor}
         )
 
-        print(f"\n### tile {th}x{tw} (grid {h8}x{w8})\n", flush=True)
+        print(f"\n### tile group {ntiles}x {th}x{tw} (grid {h8}x{w8})\n", flush=True)
         print("| stage | measured ms | floor ms | ratio | basis |")
         print("|---|---|---|---|---|")
         for name, s in stages.items():
@@ -202,7 +228,9 @@ def main():
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
-        "roofline_r4.json",
+        "roofline_r5.json"
+        if layout == "balanced"
+        else f"roofline_r5_{layout}.json",
     )
     with open(out, "w") as f:
         json.dump(ledger, f, indent=1)

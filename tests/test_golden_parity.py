@@ -57,7 +57,7 @@ def parse_cache_dir_name(name: str) -> dict:
     return out
 
 
-def test_epe_vs_golden_cache():
+def test_epe_vs_golden_cache(monkeypatch):
     from tpuflow.config import ModelConfig
     from tpuflow.pipeline.cache import FlowCacheManager
     from tpuflow.pipeline.video_io import FrameExtractor
@@ -98,6 +98,11 @@ def test_epe_vs_golden_cache():
         max_frames=n, start_frame=params["start_frame"], progress=False
     )
     n = min(n, len(frames))
+
+    # Golden caches were produced with the reference's tile geometry —
+    # pin it so the EPE threshold measures model numerics, not the
+    # balanced layout's moved seam lines (ADVICE r4).
+    monkeypatch.setenv("TPUFLOW_TILE_LAYOUT", "reference")
 
     sample = list(range(0, n, max(1, n // 8)))[:8]
     epes = []

@@ -36,9 +36,13 @@ def resolve_tile_layout(layout: str | None = None) -> str:
 
     Override per-run with TPUFLOW_TILE_LAYOUT=reference to reproduce the
     reference's exact tile geometry (fixed squares, shrunken edges)."""
-    if layout:
-        return layout
-    return os.environ.get("TPUFLOW_TILE_LAYOUT", "balanced")
+    resolved = layout or os.environ.get("TPUFLOW_TILE_LAYOUT", "balanced")
+    if resolved not in ("balanced", "reference"):
+        raise ValueError(
+            f"Unknown tile layout {resolved!r}: expected 'balanced' or "
+            "'reference' (check TPUFLOW_TILE_LAYOUT)."
+        )
+    return resolved
 
 
 def _uniform_axis(n: int, k: int) -> Tuple[int, List[int]]:
@@ -77,6 +81,10 @@ def calculate_tile_grid(
     window on the MXU, and ~10% less dense-volume HBM (sum of grid² is
     minimized by equal splits).  Tile seams move relative to the
     reference; outputs are full-frame flows either way."""
+    if layout not in ("balanced", "reference"):
+        raise ValueError(
+            f"Unknown tile layout {layout!r}: expected 'balanced' or 'reference'."
+        )
     cols = int(np.ceil(width / tile_size))
     rows = int(np.ceil(height / tile_size))
     if layout == "balanced":

@@ -125,15 +125,19 @@ def args_to_config(args: argparse.Namespace) -> PipelineConfig:
 def show_tiles_report(config: PipelineConfig) -> None:
     """Tile-grid analyzer (flow_processor.py:1531-1597)."""
     from ..pipeline.video_io import VideoInfo, fast_mode_dimensions
-    from ..runtime.tiles import calculate_tile_grid
+    from ..runtime.tiles import calculate_tile_grid, resolve_tile_layout
 
     info = VideoInfo(config.input).get_info()
     w, h = info["width"], info["height"]
     if config.fast:
         w, h, _ = fast_mode_dimensions(w, h)
-    tw, th, cols, rows, tiles = calculate_tile_grid(w, h)
+    # Same layout resolution as the engine's tile paths, so the report
+    # shows the grid the run will actually execute (balanced by default;
+    # TPUFLOW_TILE_LAYOUT=reference for the reference geometry).
+    layout = resolve_tile_layout()
+    tw, th, cols, rows, tiles = calculate_tile_grid(w, h, layout=layout)
     print(f"Video: {config.input} ({w}x{h}{' fast-mode' if config.fast else ''})")
-    print(f"Tile grid: {cols}x{rows} = {len(tiles)} tiles of {tw}x{th}")
+    print(f"Tile grid ({layout}): {cols}x{rows} = {len(tiles)} tiles of {tw}x{th}")
     for i, t in enumerate(tiles):
         print(
             f"  tile {i}: pos=({t['x']},{t['y']}) size={t['width']}x{t['height']}"
