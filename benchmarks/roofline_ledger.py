@@ -40,14 +40,39 @@ import jax.numpy as jnp
 import numpy as np
 
 # TPU v5e single chip. MXU: 197 TF/s bf16. HBM: 819 GB/s.
-# VPU: empirical depthwise-conv rate, anchored by benchmarks/probe_vpu.py
-# (a known-FLOPs synthetic depthwise microkernel measured on-device in
-# bf16 and f32 — the packed-bf16 question, VERDICT r4 #1).  Override with
-# TPUFLOW_VPU_TFS=<rate> after re-running the probe; 2 TF/s is the
-# round-3 calibration kept as the default until the probe result lands.
+# VPU: empirical depthwise-conv rates, anchored by benchmarks/probe_vpu.py
+# (known-FLOPs synthetic depthwise microkernels measured on-device in
+# bf16 and f32 — the packed-bf16 question, VERDICT r4 #1; answer: no
+# packed-bf16 exists on this chip, ALU peak 4.69 TF/s in BOTH dtypes,
+# and XLA's depthwise lowering achieves 2.0-2.9 TF/s of it).  The ledger
+# reads docs/vpu_probe.json when present and floors the 15x15 planes at
+# the measured dw15 rate and the GRU 7x7 planes at the measured dw7
+# rate; TPUFLOW_VPU_TFS=<rate> overrides both with one number (the old
+# round-3 single-rate calibration was 2 TF/s).
 MXU_FLOPS = 197e12
 HBM_BW = 819e9
-VPU_FLOPS = float(os.environ.get("TPUFLOW_VPU_TFS", "2")) * 1e12
+
+
+def _vpu_rates():
+    """(dw15_rate, dw7_rate, source) in FLOP/s."""
+    env = os.environ.get("TPUFLOW_VPU_TFS")
+    if env:
+        r = float(env) * 1e12
+        return r, r, f"TPUFLOW_VPU_TFS={env}"
+    probe = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "vpu_probe.json",
+    )
+    if os.path.exists(probe):
+        with open(probe) as f:
+            p = json.load(f)
+        dw = p.get("depthwise", {})
+        dw15 = dw.get("dw15x15_648ch_bf16")
+        dw7 = dw.get("dw7x7_512ch_bf16")
+        if dw15 and dw7:
+            return dw15 * 1e12, dw7 * 1e12, "docs/vpu_probe.json (on-device)"
+    return 2e12, 2e12, "round-3 calibration fallback (probe missing)"
 
 # SK depthwise channel-plane inventory per refinement iteration
 # (ROUND3_NOTES par.5): 15x15 convs over ~1560 planes + the GRU's 7x7
@@ -112,10 +137,17 @@ def main():
     engine.load_model("__bench_random_init__")
     rng = np.random.default_rng(0)
 
+    vpu15, vpu7, vpu_src = _vpu_rates()
     ledger = {
         "layout": layout,
         "tiles": [],
-        "rates": {"mxu": MXU_FLOPS, "hbm": HBM_BW, "vpu": VPU_FLOPS},
+        "rates": {
+            "mxu": MXU_FLOPS,
+            "hbm": HBM_BW,
+            "vpu_dw15": vpu15,
+            "vpu_dw7": vpu7,
+            "vpu_source": vpu_src,
+        },
     }
     window_ms = 0.0
     floor_ms = 0.0
@@ -149,14 +181,10 @@ def main():
         # Analytic structural terms for the refine.
         vol_bytes = corrmod.dense_volume_bytes(h8, w8)  # one direction, BN=1
         lookup_stream = ntiles * 2 * interiors * iters * vol_bytes / HBM_BW
-        dw_flops = (
-            grid
-            * (DW15_PLANES * 15 * 15 + DW7_PLANES * 7 * 7)
-            * 2
-            * interiors
-            * iters
-        )
-        sk_vpu = dw_flops / VPU_FLOPS
+        dw15_flops = grid * DW15_PLANES * 15 * 15 * 2 * interiors * iters
+        dw7_flops = grid * DW7_PLANES * 7 * 7 * 2 * interiors * iters
+        dw_flops = dw15_flops + dw7_flops
+        sk_vpu = dw15_flops / vpu15 + dw7_flops / vpu7
         mxu_rest = max(fl_ref - dw_flops, 0.0) / MXU_FLOPS
 
         stages = {
