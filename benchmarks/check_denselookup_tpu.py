@@ -65,6 +65,28 @@ def main():
     nz = jnp.sum((outs["xla"] != outs["pallas"]).astype(jnp.int32))
     print(f"max|xla-pallas| = {float(d):.6f}  ndiff = {int(nz)} / {outs['xla'].size}")
 
+    if "--mesh" in sys.argv:
+        # Real-Mosaic half of the shard_map validation (VERDICT r4 #5;
+        # CPU interpret half: tests/test_sharding.py).  A 1-device TPU
+        # mesh exercises the actual custom call INSIDE shard_map —
+        # proving the wrap compiles and stays exact on hardware.
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        os.environ["TPUFLOW_DENSE_LOOKUP"] = "pallas"
+
+        def run_mesh(fl, *levels):
+            pyr = DenseCorrPyramid(list(levels), (bn, gh, gw_), (gh, gw_))
+            return pyr.lookup(fl, r, mesh=mesh)
+
+        o = jax.jit(run_mesh)(flow, *pyramid)
+        o.block_until_ready()
+        dz = jnp.max(jnp.abs(o - outs["pallas"]))
+        print(
+            f"shard_map(1-dev TPU mesh) vs plain pallas: "
+            f"max|diff| = {float(dz):.6f} (expect 0.0)"
+        )
+
 
 if __name__ == "__main__":
     main()

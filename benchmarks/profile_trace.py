@@ -6,8 +6,11 @@ Answers what the stub-ablation probes could not (zero-stubs change the
 compiled program): where ref_j's wall time actually goes, fusion by
 fusion, on the real chip.
 
-Usage: [TW=1280] [STAGE=ref] python benchmarks/profile_trace.py
+Usage: [TW=1280] [NT=1] [STAGE=ref] python benchmarks/profile_trace.py
   STAGE: ref (default) | enc | feat
+  NT: tiles per dispatch (the balanced product layout batches NT=2
+      960x1080 tiles through one trio; TW=960 NT=2 is the headline
+      configuration)
 Prints top device ops by total time plus a category rollup
 (convolution / lookup-select einsums / elementwise fusion / copies).
 """
@@ -27,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def capture(stage: str, tw: int, logdir: str) -> None:
+def capture(stage: str, tw: int, nt: int, logdir: str) -> None:
     from tpuflow.config import ModelConfig
     from tpuflow.runtime.engine import FlowEngine
 
@@ -41,7 +44,7 @@ def capture(stage: str, tw: int, logdir: str) -> None:
 
     feat_j, enc_j, ref_j = engine._videoflow_stride1_fns(th, tw)
     frames = [
-        jnp.asarray(rng.integers(0, 256, (1, th, tw, 3), dtype=np.uint8))
+        jnp.asarray(rng.integers(0, 256, (nt, th, tw, 3), dtype=np.uint8))
         for _ in range(T)
     ]
     feats = [feat_j(engine.params, f) for f in frames]
@@ -97,7 +100,8 @@ def categorize(name: str, long_name: str) -> str:
 def main() -> None:
     stage = os.environ.get("STAGE", "ref")
     tw = int(os.environ.get("TW", "1280"))
-    logdir = os.environ.get("LOGDIR", f"/tmp/jaxtrace_{stage}_{tw}")
+    nt = int(os.environ.get("NT", "1"))
+    logdir = os.environ.get("LOGDIR", f"/tmp/jaxtrace_{stage}_{tw}x{nt}")
     if not os.environ.get("PARSE_ONLY"):
         try:
             jax.config.update(
@@ -110,7 +114,7 @@ def main() -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
-        capture(stage, tw, logdir)
+        capture(stage, tw, nt, logdir)
 
     data = load_trace(logdir)
     events = data.get("traceEvents", [])
