@@ -226,16 +226,79 @@ def main():
         f"({loop_name} product loop, {WB}/dispatch)"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "1080p flow frames/sec/chip (MOF seq=5, stride-1 reference semantics)",
-                "value": round(stride1_fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(stride1_fps / REFERENCE_FPS_ESTIMATE, 2),
-            }
+    # Second scoreboard line (VERDICT r4 #9): stride-INTERIOR semantics.
+    # The refine computes ALL T-2 interior flows per window pass anyway
+    # (the reference throws away all but the middle one,
+    # videoflow_core.py:193-195); advancing windows by T-2 keeps every
+    # interior and divides the pass count by T-2.  Identical model math,
+    # TPU-first output semantics — reported alongside, NEVER as the
+    # headline (the mandate metric stays the reference's own stride-1).
+    # BENCH_INTERIOR=0 skips the extra compile.
+    interior_fps = None
+    if os.environ.get("BENCH_INTERIOR", "1") == "1" and not PAIRS:
+        from tpuflow.core.padding import pad_dims
+
+        t_int = T - 2
+        ref_alls = []
+        for (fns, per_frame, th, tw), _cache in zip(groups, feat_caches):
+            pt, pb, pl, pr = pad_dims(th, tw, 8)
+            ref_alls.append(
+                jax.jit(
+                    lambda p, e, pt=pt, pl=pl, th=th, tw=tw: (
+                        engine.model.apply(p, e, method="refine")[0][
+                            :, :, pt : pt + th, pl : pl + tw
+                        ]
+                    )
+                )
+            )
+
+        def one_window_interior(i):
+            outs = []
+            win = centered_window_indices(n_frames, i, T)
+            for (fns, per_frame, th, tw), cache, ref_all in zip(
+                groups, feat_caches, ref_alls
+            ):
+                feat_j, enc_j, _ = fns
+                for f in dict.fromkeys(win):
+                    if f not in cache:
+                        cache[f] = feat_j(engine.params, per_frame[f])
+                for f in [f for f in cache if f < i - T]:
+                    del cache[f]
+                fw = jnp.stack([cache[f][0] for f in win], axis=1)
+                cw = jnp.stack([cache[f][1] for f in win], axis=1)
+                outs.append(ref_all(engine.params, enc_j(engine.params, fw, cw)))
+            return outs
+
+        log("stride-interior scoreboard: warmup")
+        for c in feat_caches:
+            c.clear()
+        outs = one_window_interior(start_idx)
+        chk = float(checksum(outs))
+        assert np.isfinite(chk), chk
+        n_win = 3
+        t0 = time.perf_counter()
+        for j in range(n_win):
+            outs = one_window_interior(start_idx + 1 + j * t_int)
+        chk = float(checksum(outs))
+        dt_int = time.perf_counter() - t0
+        assert np.isfinite(chk)
+        interior_fps = n_win * t_int / dt_int
+        log(
+            f"{n_win} stride-{t_int} windows ({n_win * t_int} interior "
+            f"frames) in {dt_int:.3f}s -> {interior_fps:.3f} frames/s"
         )
-    )
+
+    result = {
+        "metric": "1080p flow frames/sec/chip (MOF seq=5, stride-1 reference semantics)",
+        "value": round(stride1_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(stride1_fps / REFERENCE_FPS_ESTIMATE, 2),
+    }
+    if interior_fps is not None:
+        # Same window pass, every interior kept (TPU-first semantics) —
+        # informational; the mandate metric above stays stride-1.
+        result["stride_interior_fps"] = round(interior_fps, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -172,3 +172,39 @@ def test_stride1_mesh_matches_single_device():
     assert b.shape == a.shape
     scale = max(1.0, float(np.abs(a).max()))
     assert np.max(np.abs(a - b)) / scale < 2e-3
+
+
+@needs_8
+def test_pallas_lookup_shard_mapped_under_mesh(monkeypatch):
+    """The dense-lookup kernel under a DP mesh (VERDICT r4 #5): kernel
+    calls are wrapped in jax.shard_map over the data axis so each shard
+    runs the kernel on its own batch slice — the Mosaic custom call is
+    never GSPMD-partitioned.  On CPU the kernel runs in interpret mode
+    (forced here via TPUFLOW_DENSE_LOOKUP=interpret, since 'auto'
+    resolves to the XLA formulation off-TPU); the real-Mosaic half of
+    the validation runs on the chip via
+    benchmarks/check_denselookup_tpu.py --mesh.  Equality oracle: the
+    unsharded engine's product (XLA) formulation."""
+    rng = np.random.default_rng(7)
+    # 8 windows = one per device: single and sharded engines compile at
+    # the SAME batch size with the SAME kernel formulation, so the only
+    # variable is the shard_map wrap (plus GSPMD-vs-single fusion-order
+    # float drift; the kernel-vs-XLA formulation delta is covered by
+    # tests/test_denselookup.py).
+    frames = [rng.integers(0, 256, (40, 48, 3), dtype=np.uint8) for _ in range(10)]
+    idxs = list(range(8))
+    monkeypatch.setenv("TPUFLOW_DENSE_LOOKUP", "interpret")
+
+    single = FlowEngine(tiny_cfg())
+    single.load_model(allow_random_init=True)
+    a = single.compute_flow_batch(frames, idxs)
+
+    mesh = make_mesh(8)
+    sharded = FlowEngine(tiny_cfg(), params=single.params, mesh=mesh)
+    sharded.load_model(allow_random_init=True)
+    b = sharded.compute_flow_batch(frames, idxs)
+
+    assert b.shape == (8, 40, 48, 2)
+    assert np.isfinite(b).all()
+    # Same tolerance rationale as test_engine_dp_matches_single_device.
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)

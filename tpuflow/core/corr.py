@@ -567,7 +567,7 @@ class DenseCorrPyramid:
 
     def lookup(
         self, flow: jnp.ndarray, radius: int = 4, border: str = "zeros",
-        impl: Optional[str] = None,
+        impl: Optional[str] = None, mesh=None,
     ) -> jnp.ndarray:
         """[B, H, W, 2] -> [B, H, W, L*(2r+1)^2] f32, numerics identical to
         CorrPyramid.lookup (tests enforce equality): border='zeros'
@@ -602,6 +602,7 @@ class DenseCorrPyramid:
                 flow, radius, border,
                 interpret=jax.default_backend() != "tpu",
                 fused=mode != "patch",
+                mesh=mesh,
             )
         b, h, w, _ = flow.shape
         r = radius
@@ -702,7 +703,7 @@ class DenseCorrPyramid:
 
     def _lookup_kernel(
         self, flow: jnp.ndarray, radius: int, border: str, interpret: bool,
-        fused: bool = True,
+        fused: bool = True, mesh=None,
     ) -> jnp.ndarray:
         """Kernel-backed lookup.
 
@@ -717,11 +718,33 @@ class DenseCorrPyramid:
         fused=False (mode 'patch'): the exact-value (2r+2)^2 patch kernel
         + the shared XLA bilinear epilogue (_patch_to_features), kept for
         ablation.  Both are bitwise-equal to the XLA formulation.
+
+        `mesh`: when a jax.sharding.Mesh is given, each kernel call is
+        wrapped in jax.shard_map over the mesh's batch axis ('data' if
+        present, else the first axis): every shard runs the kernel on
+        its OWN batch slice, so the Mosaic custom call never needs GSPMD
+        partitioning (a custom call under plain pjit would be replicated
+        or rejected — VERDICT r4 #5).  All kernel operands are b-major
+        on their leading dim, so P(axis) on dim 0 is a pure DP split;
+        the engine pads batches to mesh-divisible sizes.  Validated by
+        tests/test_sharding.py (8-dev CPU interpret equality) and
+        benchmarks/check_denselookup_tpu.py --mesh (real Mosaic kernel
+        inside shard_map on the chip).
         """
         from ..kernels.denselookup import dense_feature_level, dense_patch_level
 
         if border != "zeros":
             fused = False
+
+        def shardwrap(call, nargs):
+            if mesh is None:
+                return call
+            axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+            spec = jax.sharding.PartitionSpec(axis)
+            return jax.shard_map(
+                call, mesh=mesh, in_specs=(spec,) * nargs, out_specs=spec,
+                check_vma=False,
+            )
         b, h, w, _ = flow.shape
         r = radius
         hw = h * w
@@ -745,21 +768,32 @@ class DenseCorrPyramid:
                 cc = jnp.where(
                     (idx.xraw >= 0) & (idx.xraw < lw), idx.xraw, lw
                 )
-                feats = dense_feature_level(
-                    volume, rr, cc,
-                    idx.wx[:, :, 0, 0], idx.wy[:, :, 0, 0],
-                    lh=lh, lw=lw, g=g, side=2 * r + 2,
-                    interpret=interpret,
+                call = shardwrap(
+                    lambda v, rr_, cc_, wx_, wy_, lh=lh, lw=lw, g=g: (
+                        dense_feature_level(
+                            v, rr_, cc_, wx_, wy_,
+                            lh=lh, lw=lw, g=g, side=2 * r + 2,
+                            interpret=interpret,
+                        )
+                    ),
+                    5,
+                )
+                feats = call(
+                    volume, rr, cc, idx.wx[:, :, 0, 0], idx.wy[:, :, 0, 0]
                 )
                 out.append(
                     feats[:, :, :ncs].reshape(b, h, w, ncs).astype(jnp.float32)
                 )
             else:
-                patch = dense_patch_level(
-                    volume, idx.rr, idx.cc,
-                    lh=lh, lw=lw, g=g, side=2 * r + 2,
-                    interpret=interpret,
+                call = shardwrap(
+                    lambda v, rr_, cc_, lh=lh, lw=lw, g=g: dense_patch_level(
+                        v, rr_, cc_,
+                        lh=lh, lw=lw, g=g, side=2 * r + 2,
+                        interpret=interpret,
+                    ),
+                    3,
                 )
+                patch = call(volume, idx.rr, idx.cc)
                 out.append(
                     _patch_to_features(patch, idx, lh, lw, border, (b, h, w, r))
                 )

@@ -239,6 +239,8 @@ class _MemIteration(nn.Module):
     corr_impl: str
     dtype: Any = jnp.float32
     dense_lookup: str = "auto"   # DenseCorrPyramid formulation policy
+    lookup_mesh: Any = None      # shard_map the Pallas kernel under DP
+                                 # (corr._lookup_kernel)
 
     @nn.compact
     def __call__(self, carry: "_MemCarry", consts):
@@ -248,7 +250,8 @@ class _MemIteration(nn.Module):
 
         if isinstance(corr, DenseCorrPyramid):
             cf = corr.lookup(
-                carry.flow, self.corr_radius, impl=self.dense_lookup
+                carry.flow, self.corr_radius, impl=self.dense_lookup,
+                mesh=self.lookup_mesh,
             ).astype(self.dtype)
         else:
             cf = corr.lookup(carry.flow, self.corr_radius).astype(self.dtype)
@@ -285,6 +288,7 @@ class MemFlowNet(nn.Module):
     corr_dtype: Any = jnp.bfloat16
     corr_impl: str = "auto"
     dense_lookup: str = "auto"  # DenseCorrPyramid formulation policy
+    lookup_mesh: Any = None     # Mesh: shard_map'd Pallas lookup under DP
                                 # (fused Pallas kernel on single-host
                                 # TPU; the engine forces 'xla' under a
                                 # mesh — see MOFNet.dense_lookup)
@@ -351,6 +355,7 @@ class MemFlowNet(nn.Module):
             corr_impl=type(corr).__name__,
             dtype=self.dtype,
             dense_lookup=self.dense_lookup,
+            lookup_mesh=self.lookup_mesh,
             name="iteration",
         )
         if self.scan_iters:

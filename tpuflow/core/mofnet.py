@@ -148,10 +148,17 @@ class _MOFIteration(nn.Module):
     gma_impl: str = "auto"
     dense_lookup: str = "auto"   # DenseCorrPyramid formulation policy
                                  # (corr.DenseCorrPyramid.lookup)
+    lookup_mesh: Any = None      # jax.sharding.Mesh: shard_map the Pallas
+                                 # lookup kernel per-shard under DP (the
+                                 # Mosaic custom call is never GSPMD-
+                                 # partitioned; corr._lookup_kernel)
 
     def _lookup(self, corr, flow):
         if isinstance(corr, DenseCorrPyramid):
-            return corr.lookup(flow, self.corr_radius, impl=self.dense_lookup)
+            return corr.lookup(
+                flow, self.corr_radius, impl=self.dense_lookup,
+                mesh=self.lookup_mesh,
+            )
         return corr.lookup(flow, self.corr_radius)
 
     @nn.compact
@@ -230,11 +237,13 @@ class MOFNet(nn.Module):
     corr_impl: str = "auto"          # 'auto' | 'materialized' | 'direct'
     dense_lookup: str = "auto"       # dense radius-lookup formulation:
                                      # 'auto' (fused Pallas kernel on
-                                     # single-host TPU, XLA elsewhere) |
-                                     # 'xla' | 'pallas' | 'patch' — the
-                                     # engine forces 'xla' under a mesh
-                                     # (custom-call partitioning under
-                                     # pjit is unvalidated)
+                                     # TPU, XLA elsewhere) | 'xla' |
+                                     # 'pallas' | 'patch'
+    lookup_mesh: Any = None          # jax.sharding.Mesh under DP: kernel
+                                     # calls run inside shard_map so the
+                                     # Mosaic custom call sees per-shard
+                                     # batches (GSPMD cannot partition a
+                                     # custom call; VERDICT r4 #5)
     gma_impl: str = "auto"           # GMA apply: 'auto' (flash on TPU,
                                      # materialize/chunk elsewhere) |
                                      # 'flash' | 'xla' (see gma.Aggregate)
@@ -272,6 +281,7 @@ class MOFNet(nn.Module):
             dtype=self.dtype,
             gma_impl=self.gma_impl,
             dense_lookup=self.dense_lookup,
+            lookup_mesh=self.lookup_mesh,
         )
         if self.scan_iters:
             self.iteration = nn.scan(

@@ -125,6 +125,31 @@ def _kernel(hk_ref, pk_ref, cc_ref, vol_ref, out_ref, *, nh: int, gw: int,
         out_ref[0, si * m : (si + 1) * m, :] = patch.astype(out_ref.dtype)
 
 
+def _pad_queries_to_subblock(vol4, idx_arrays, qbs=QBS):
+    """Zero-pad the query dim of [B, Nq, nh, gw] (and replicate the
+    matching index/weight arrays) to a multiple of the sub-block size.
+
+    The kernels' per-sub-block one-hot dots contract over ALL QBS
+    queries' volume rows at once: a sub-block straddling the valid-query
+    boundary would mix out-of-bounds block reads — unspecified values,
+    NaN in interpret mode — into valid queries' f32 accumulations as
+    0 * garbage (0 * NaN = NaN).  Padding to the QBS quantum keeps every
+    partially-valid sub-block fully in-bounds; sub-blocks past it
+    consist entirely of discarded pad queries.  Product grids are
+    8-multiples already, so this is a no-op on the bench path."""
+    nq = vol4.shape[1]
+    rem = nq % qbs
+    if rem == 0:
+        return (vol4, *idx_arrays)
+    pad = qbs - rem
+    vol4 = jnp.pad(vol4, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    padded = []
+    for a in idx_arrays:
+        tail = jnp.broadcast_to(a[:, -1:], (a.shape[0], pad) + a.shape[2:])
+        padded.append(jnp.concatenate([a, tail], axis=1))
+    return (vol4, *padded)
+
+
 @functools.partial(
     jax.jit, static_argnames=("lh", "lw", "g", "side", "interpret")
 )
@@ -156,13 +181,19 @@ def dense_patch_level(
     nh, gw = volume.shape[1], volume.shape[2]
     assert volume.shape[0] == b * nq, (volume.shape, b, nq)
 
+    nq_out = nq
+    vol4 = volume.reshape(b, nq, nh, gw)
+    vol4, rr, cc = _pad_queries_to_subblock(vol4, (rr, cc))
+    nq = vol4.shape[1]
+
     nq_pad = _round_up(nq, QB)
     nqb = nq_pad // QB
     if nq_pad != nq:
         # Replicated index pads select real rows; their outputs are
-        # sliced off.  The volume itself is NOT padded — the tail block
-        # reads out of bounds, which Pallas handles by edge-padding the
-        # block; garbage only reaches pad queries' discarded patches.
+        # sliced off.  The volume itself is NOT padded beyond the QBS
+        # quantum (_pad_queries_to_subblock) — tail blocks past it read
+        # out of bounds, but every sub-block they poison consists
+        # entirely of discarded pad queries.
         rr = jnp.concatenate(
             [rr, jnp.broadcast_to(rr[:, -1:], (b, nq_pad - nq, side))], axis=1
         )
@@ -174,7 +205,6 @@ def dense_patch_level(
     pkl = _lane_pack(rr % g, nqb)
     ccl = _lane_pack(cc, nqb)
     dt = volume.dtype
-    vol4 = volume.reshape(b, nq, nh, gw)
 
     grid_spec = pl.GridSpec(
         grid=(b, nqb),
@@ -203,12 +233,31 @@ def dense_patch_level(
         interpret=interpret,
     )(hkl, pkl, ccl, vol4)
 
-    return out.reshape(b, nq_pad, SP, SP)[:, :nq, :side, :side]
+    return out.reshape(b, nq_pad, SP, SP)[:, :nq_out, :side, :side]
+
+
+def _pick_qbs(nh: int) -> int:
+    """Queries per select sub-block.  MEASURED: 8 for every level.
+
+    The round-5 trace showed deep pyramid levels (aligned nh ladder
+    136/40/16/8 at the bench grid) running ~10-20x off their stream
+    floors, which looked like per-sub-block op-ISSUE latency — so this
+    hook widened the sub-block (qbs 16/32 at small nh) to cut the op
+    count 2-4x.  On-device result: ref_j 1313 vs 1202 ms/call — WORSE,
+    because every select dot computes a block-diagonal product whose
+    FLOPs scale with qbs^2 * nh (cross-query terms are zeros that the
+    MXU still multiplies): at qbs=32 the garbage FLOPs (~16x) exceed
+    the issue latency saved.  The deep-level overhead is formulation-
+    fundamental: every extraction formulation tried (XLA tiny matmuls,
+    Pallas select, band DMA, wide sub-blocks) pays ~1x of its operand
+    in one-hot work, and at deep levels the per-query patch count
+    doesn't shrink with the volume (docs/ROUND5_NOTES.md)."""
+    return QBS
 
 
 def _fused_kernel(hk_ref, pk_ref, cc_ref, wx_ref, wy_ref, vol_ref, out_ref,
                   pt_ref, *, nh: int, gw: int, lw: int, side: int,
-                  out_dtype):
+                  out_dtype, qbs: int = QBS):
     """Patch extract + border zeros + bilinear + x-major repack, fused.
 
     Patch values are EXACT volume entries (one-hot selects); border
@@ -240,8 +289,8 @@ def _fused_kernel(hk_ref, pk_ref, cc_ref, wx_ref, wy_ref, vol_ref, out_ref,
     patch kernel — ~21 extra MXU ops x 8k sub-blocks per call is
     issue-latency, not FLOPs (round-4 notes §7).
     """
-    nsub = QB // QBS
-    m = QBS * SP
+    nsub = QB // qbs
+    m = qbs * SP
     mb = QB * SP  # full block rows
     ns = side - 1  # sampled patch side (2r+1)
 
@@ -257,14 +306,14 @@ def _fused_kernel(hk_ref, pk_ref, cc_ref, wx_ref, wy_ref, vol_ref, out_ref,
     ones_gw = jnp.ones((1, gw), jnp.float32)
     ones_sp = jnp.ones((1, SP), jnp.float32)
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (gw, m), 0) % lw
-    k_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * nh, m), 0) // nh
-    k_r = jax.lax.broadcasted_iota(jnp.int32, (QBS * nh, m), 0) % nh
-    m_q = jax.lax.broadcasted_iota(jnp.int32, (QBS * nh, m), 1) // SP
+    k_q = jax.lax.broadcasted_iota(jnp.int32, (qbs * nh, m), 0) // nh
+    k_r = jax.lax.broadcasted_iota(jnp.int32, (qbs * nh, m), 0) % nh
+    m_q = jax.lax.broadcasted_iota(jnp.int32, (qbs * nh, m), 1) // SP
 
     # --- per-sub-block: extraction only (the patch kernel's 4 dots) ---
     for si in range(nsub):
-        vol_sub = vol_ref[0, si * QBS : (si + 1) * QBS, :, :]
-        vol_rs = vol_sub.reshape(QBS * nh, gw)
+        vol_sub = vol_ref[0, si * qbs : (si + 1) * qbs, :, :]
+        vol_rs = vol_sub.reshape(qbs * nh, gw)
         hr, hc = divmod(si * m, _LIDX)
         hk_row = hk_ref[0, hr, hc : hc + m]
         rt = ((k_q == m_q) & (k_r == hk_row[None, :])).astype(out_dtype)
@@ -380,6 +429,14 @@ def dense_feature_level(
     nh, gw = volume.shape[1], volume.shape[2]
     assert volume.shape[0] == b * nq, (volume.shape, b, nq)
 
+    nq_out = nq
+    qbs = _pick_qbs(nh)
+    vol4 = volume.reshape(b, nq, nh, gw)
+    vol4, rr, cc, wx, wy = _pad_queries_to_subblock(
+        vol4, (rr, cc, wx, wy), qbs
+    )
+    nq = vol4.shape[1]
+
     nq_pad = _round_up(nq, QB)
     nqb = nq_pad // QB
     if nq_pad != nq:
@@ -406,7 +463,6 @@ def dense_feature_level(
         jnp.broadcast_to(wy[:, :, None], (b, nq_pad, side)), nqb
     )
     dt = volume.dtype
-    vol4 = volume.reshape(b, nq, nh, gw)
 
     idx_spec = pl.BlockSpec((1, 8, _LIDX), lambda bi, qi: (bi, qi, 0),
                             memory_space=pltpu.VMEM)
@@ -425,7 +481,8 @@ def dense_feature_level(
     )
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, nh=nh, gw=gw, lw=lw, side=side, out_dtype=dt
+            _fused_kernel, nh=nh, gw=gw, lw=lw, side=side, out_dtype=dt,
+            qbs=qbs,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq_pad, 128), jnp.float32),
@@ -435,4 +492,4 @@ def dense_feature_level(
         interpret=interpret,
     )(hkl, pkl, ccl, wxl, wyl, vol4)
 
-    return out[:, :nq, :]
+    return out[:, :nq_out, :]

@@ -64,12 +64,13 @@ def default_compute_dtype():
 
 
 def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None,
-                dense_lookup: str = "auto"):
+                dense_lookup: str = "auto", mesh=None):
     """`encoder=None` follows cfg.encoder (default 'twins' — the upstream
     checkpoint-parity backbone, videoflow_core.py:101-110).
-    `dense_lookup`: DenseCorrPyramid formulation policy — the engine
-    passes 'xla' when a mesh is active (Pallas custom-call partitioning
-    under pjit is unvalidated); 'auto' = fused kernel on TPU."""
+    `dense_lookup`: DenseCorrPyramid formulation policy ('auto' = fused
+    Pallas kernel on TPU).  `mesh`: an active jax.sharding.Mesh — the
+    kernel then runs inside shard_map per shard, because GSPMD cannot
+    partition the Mosaic custom call (corr._lookup_kernel docstring)."""
     encoder = encoder or cfg.encoder
     kw = dict(
         corr_levels=cfg.corr_levels,
@@ -81,6 +82,7 @@ def build_model(cfg: ModelConfig, encoder: Optional[str] = None, dtype=None,
         encoder=encoder,
         corr_impl=cfg.corr_impl,
         dense_lookup=dense_lookup,
+        lookup_mesh=mesh,
         dtype=dtype or default_compute_dtype(),
     )
     if cfg.model == "memflow":
@@ -110,10 +112,12 @@ class FlowEngine:
         params replicate.  None = single-device.  `dtype`: compute dtype
         (default bf16 on accelerators, f32 on CPU)."""
         self.config = config
-        self.model = build_model(
-            config, encoder, dtype,
-            dense_lookup="auto" if mesh is None else "xla",
-        )
+        # Under a mesh the dense lookup keeps the fused Pallas kernel:
+        # kernel calls are shard_map'd over the mesh's data axis (per-
+        # shard batches; no GSPMD partitioning of the custom call) —
+        # VERDICT r4 #5, validated in tests/test_sharding.py (8-dev CPU
+        # interpret) + benchmarks/check_denselookup_tpu.py --mesh.
+        self.model = build_model(config, encoder, dtype, mesh=mesh)
         self.params = params
         self.seed = seed
         self.device = device
