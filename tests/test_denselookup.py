@@ -82,3 +82,29 @@ def test_dense_patch_kernel_border_and_tail(mode):
         else:
             os.environ["TPUFLOW_DENSE_LOOKUP"] = old
     _assert_matches(mode, jnp.float32, got, ref)
+
+
+@pytest.mark.parametrize("mode", ["interpret", "patch"])
+def test_partial_subblock_query_counts_stay_finite_and_exact(mode):
+    """Regression: Nq not a multiple of the sub-block size (QBS=8).
+
+    The per-sub-block one-hot dots contract over every sub-block
+    query's volume rows at once, so a sub-block straddling the
+    valid-query boundary used to mix OUT-OF-BOUNDS volume block reads
+    (NaN in interpret mode) into valid queries' f32 accumulations as
+    0 * NaN — poisoning the last <=7 valid queries (found at the 5x6
+    engine-test grid, docs/ROUND5_NOTES.md §4).  Product grids are
+    8-multiples and never hit this; _pad_queries_to_subblock now pads
+    the volume's query dim so every partially-valid sub-block is fully
+    in-bounds.  Grids chosen so h*w % 8 != 0."""
+    rng = np.random.default_rng(11)
+    for (h, w) in [(5, 6), (6, 10), (9, 7)]:
+        b, c, r, levels = 1, 32, 2, 2
+        f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        flow = jnp.asarray(rng.standard_normal((b, h, w, 2)) * 3, jnp.float32)
+        pyr = DenseCorrPyramid.build(f1, f2, levels)
+        ref = pyr.lookup(flow, r, impl="xla")
+        got = pyr.lookup(flow, r, impl=mode)
+        assert np.isfinite(np.asarray(got)).all(), (mode, h, w)
+        _assert_matches(mode, jnp.float32, got, ref)
