@@ -208,3 +208,31 @@ def test_pallas_lookup_shard_mapped_under_mesh(monkeypatch):
     assert np.isfinite(b).all()
     # Same tolerance rationale as test_engine_dp_matches_single_device.
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+@needs_8
+def test_tiled_inference_shard_mapped_kernel(monkeypatch):
+    """compute_flow_tiled under a DP mesh with the kernel lookup forced
+    (interpret on CPU): the tile batch pads to the mesh's data axis and
+    each shard runs the shard_map'd kernel on its tile slice.  Pins the
+    TILE path (grouped shapes, batch padding, paste) end-to-end on the
+    mesh + kernel combination; oracle = the unsharded engine with the
+    same formulation."""
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (40, 72, 3), dtype=np.uint8) for _ in range(5)]
+    monkeypatch.setenv("TPUFLOW_DENSE_LOOKUP", "interpret")
+
+    single = FlowEngine(tiny_cfg())
+    single.load_model(allow_random_init=True)
+    a = single.compute_flow_tiled(frames, 2, tile_size=40, tile_batch=2)
+
+    mesh = make_mesh(8)
+    sharded = FlowEngine(tiny_cfg(), params=single.params, mesh=mesh)
+    sharded.load_model(allow_random_init=True)
+    b = sharded.compute_flow_tiled(frames, 2, tile_size=40, tile_batch=2)
+
+    assert b.shape == (40, 72, 2)
+    assert np.isfinite(b).all()
+    # Tile batches compile at different padded sizes (2 vs mesh-padded
+    # 8), so XLA fusion order differs: float drift only.
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
