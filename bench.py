@@ -176,7 +176,9 @@ def main():
 
     def one_window_trio(i, wb):
         # The product default: window(-batched) dispatch, windows stack
-        # along the tile-group batch dim through enc_j/ref_j.
+        # along the tile-group batch dim INSIDE enc_j (per-frame cached
+        # features passed as a tuple — no eager stack/concat dispatches
+        # in the steady-state loop, matching the engine's product path).
         outs = []
         wins = [centered_window_indices(n_frames, i + k, T) for k in range(wb)]
         for (fns, per_frame, th, tw), cache in zip(groups, feat_caches):
@@ -186,12 +188,8 @@ def main():
                     cache[f] = feat_j(engine.params, per_frame[f])
             for f in [f for f in cache if f < i - T]:
                 del cache[f]
-            fw = jnp.concatenate(
-                [jnp.stack([cache[f][0] for f in win], axis=1) for win in wins]
-            )
-            cw = jnp.concatenate(
-                [jnp.stack([cache[f][1] for f in win], axis=1) for win in wins]
-            )
+            fw = tuple(cache[f][0] for win in wins for f in win)
+            cw = tuple(cache[f][1] for win in wins for f in win)
             outs.append(ref_j(engine.params, enc_j(engine.params, fw, cw)))
         return outs
 
@@ -264,8 +262,8 @@ def main():
                         cache[f] = feat_j(engine.params, per_frame[f])
                 for f in [f for f in cache if f < i - T]:
                     del cache[f]
-                fw = jnp.stack([cache[f][0] for f in win], axis=1)
-                cw = jnp.stack([cache[f][1] for f in win], axis=1)
+                fw = tuple(cache[f][0] for f in win)
+                cw = tuple(cache[f][1] for f in win)
                 outs.append(ref_all(engine.params, enc_j(engine.params, fw, cw)))
             return outs
 

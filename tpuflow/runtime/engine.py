@@ -539,8 +539,27 @@ class FlowEngine:
         feat_j = jax.jit(
             lambda p, x: model.apply(p, prep(x), method="frame_features")
         )
+
+        def assemble(x):
+            """Window assembly INSIDE the jit: x is either the stacked
+            [wb*G, T, h, w, C] array (back-compat) or a tuple of wb*T
+            per-frame [G, h, w, C] arrays (window-major).  The tuple
+            form moves the per-window stack/concat from eager ops into
+            the encode program — each eager jnp op in the product loop
+            is its own compiled-program dispatch, and the host-side
+            launch overhead measured ~8% of the steady-state window
+            (bench 1528 vs jit-sum 1409 ms; docs/ROUND5_NOTES.md)."""
+            if isinstance(x, (tuple, list)):
+                wb = len(x) // t
+                return jnp.concatenate(
+                    [jnp.stack(x[k * t : (k + 1) * t], axis=1) for k in range(wb)]
+                )
+            return x
+
         enc_j = jax.jit(
-            lambda p, f, c: model.apply(p, f, c, method="encode_from_features")
+            lambda p, f, c: model.apply(
+                p, assemble(f), assemble(c), method="encode_from_features"
+            )
         )
         ref_j = jax.jit(
             lambda p, e: model.apply(p, e, method="refine")[0][
@@ -754,24 +773,36 @@ class FlowEngine:
                 # dim (window-major) — one encode+refine dispatch covers
                 # wb windows; HBM headroom set by the corr impl (flash2
                 # keeps no volumes, so wb>1 fits where dense would not).
-                feats_w = jnp.concatenate(
-                    [
-                        jnp.stack([cache[f][0] for f in win], axis=1)
-                        for win in wins
-                    ]
-                )
-                ctx_w = jnp.concatenate(
-                    [
-                        jnp.stack([cache[f][1] for f in win], axis=1)
-                        for win in wins
-                    ]
-                )
+                # Single-device: pass the per-frame cached features as a
+                # TUPLE and let enc_j stack them inside the jit (no
+                # eager stack/concat dispatches per window).  Mesh: the
+                # stacked array must exist eagerly to device_put with
+                # the batch sharding.
                 if self.mesh is not None:
                     from .sharding import batch_sharding
 
                     bs = batch_sharding(self.mesh, 5)
-                    feats_w = jax.device_put(feats_w, bs)
-                    ctx_w = jax.device_put(ctx_w, bs)
+                    feats_w = jax.device_put(
+                        jnp.concatenate(
+                            [
+                                jnp.stack([cache[f][0] for f in win], axis=1)
+                                for win in wins
+                            ]
+                        ),
+                        bs,
+                    )
+                    ctx_w = jax.device_put(
+                        jnp.concatenate(
+                            [
+                                jnp.stack([cache[f][1] for f in win], axis=1)
+                                for win in wins
+                            ]
+                        ),
+                        bs,
+                    )
+                else:
+                    feats_w = tuple(cache[f][0] for win in wins for f in win)
+                    ctx_w = tuple(cache[f][1] for win in wins for f in win)
                 dev_group_flows.append(
                     (idxs, ref_j(self.params, enc_j(self.params, feats_w, ctx_w)))
                 )
