@@ -288,10 +288,10 @@ class MemFlowNet(nn.Module):
     corr_dtype: Any = jnp.bfloat16
     corr_impl: str = "auto"
     dense_lookup: str = "auto"  # DenseCorrPyramid formulation policy
-    lookup_mesh: Any = None     # Mesh: shard_map'd Pallas lookup under DP
-                                # (fused Pallas kernel on single-host
-                                # TPU; the engine forces 'xla' under a
-                                # mesh — see MOFNet.dense_lookup)
+                                # ('auto' = fused Pallas kernel on TPU;
+                                # see MOFNet.dense_lookup)
+    lookup_mesh: Any = None     # Mesh: shard_map'd Pallas lookup under
+                                # DP (corr._lookup_kernel docstring)
     scan_iters: bool = True   # False = Python unroll (needed for AD)
     dtype: Dtype = jnp.float32
 
