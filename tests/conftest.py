@@ -17,7 +17,29 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: model-forward compiles dominate test time.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# The dir is keyed by the HOST CPU's feature set: XLA:CPU AOT executables
+# bake in the compile machine's features, and loading one on a host with
+# fewer features (this dev VM migrates between machine types) segfaults
+# inside compilation_cache._cache_read ("+prefer-no-scatter is not
+# supported on the host machine ... SIGILL" — observed as a mid-suite
+# SIGSEGV in whichever test first hits a stale entry).
+import hashlib
+
+
+def _host_cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_cpu_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -64,6 +64,39 @@ def test_engine_dp_matches_single_device():
 
 @needs_8
 def test_sharded_train_step_runs_and_improves():
+    """Subprocess wrapper: the XLA:CPU compile of the unrolled-AD train
+    step segfaults NONDETERMINISTICALLY when it runs after ~150 suite
+    tests' compiled state has accumulated in-process (observed twice —
+    once inside compilation-cache load, once inside
+    backend_compile_and_load — while the same test passes in isolation
+    every time; docs/ROUND5_NOTES.md §10).  A fresh interpreter makes
+    the suite deterministic; the inner test carries the real assertions
+    and still runs the full 8-device sharded step."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["TPUFLOW_TRAIN_STEP_INNER"] = "1"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-x",
+            f"{__file__}::test_sharded_train_step_inner",
+        ],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+
+
+import os as _os
+
+
+@pytest.mark.skipif(
+    _os.environ.get("TPUFLOW_TRAIN_STEP_INNER") != "1",
+    reason="runs in a fresh subprocess via test_sharded_train_step_runs_and_improves",
+)
+@needs_8
+def test_sharded_train_step_inner():
     import optax
 
     from tpuflow.core.mofnet import MOFNet
