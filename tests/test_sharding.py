@@ -101,6 +101,13 @@ def test_sharded_train_step_inner():
 
     from tpuflow.core.mofnet import MOFNet
 
+    # Same exclusion as __graft_entry__.dryrun_multichip: this program's
+    # persistent-cache entry segfaults on deserialization (XLA:CPU AOT
+    # serialization bug for the collective-bearing AD executable) — and
+    # a cached entry written HERE would crash test_graft_entry_dryrun
+    # later in the same suite.  Fresh subprocess: no restore needed.
+    jax.config.update("jax_compilation_cache_dir", None)
+
     model = MOFNet(
         corr_levels=2, corr_radius=2, decoder_depth=2,
         feature_dim=32, hidden_dim=16, context_dim=16,
