@@ -142,9 +142,26 @@ def test_sharded_train_step_inner():
 
 @needs_8
 def test_graft_entry_dryrun():
-    import __graft_entry__ as g
+    """Runs dryrun_multichip(8) in a FRESH interpreter — exactly how the
+    driver invokes it.  In-process it compiles the same collective-
+    bearing AD executable as the train-step test, and that XLA:CPU
+    compile segfaults nondeterministically once a full suite's compiled
+    state has accumulated (docs/ROUND5_NOTES.md §10)."""
+    import os
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+    assert "dryrun_multichip OK" in r.stdout
 
 
 def test_graft_entry_single():
