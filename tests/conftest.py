@@ -63,3 +63,23 @@ def random_flow(rng):
 @pytest.fixture
 def random_frame(rng):
     return rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state after each test module.
+
+    The XLA:CPU backend segfaults NONDETERMINISTICALLY in
+    backend_compile_and_load / compilation-cache reads once a few
+    hundred compiled programs have accumulated in one process (the
+    crash roams: it struck whichever heavy pjit compile came late in
+    the suite — train step, multichip dryrun, then a plain engine
+    forward; docs/ROUND5_NOTES.md §10).  Dropping the jit caches (and
+    collecting the executables they pin) between modules keeps the
+    live-program count bounded; the persistent disk cache makes any
+    cross-module recompiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
